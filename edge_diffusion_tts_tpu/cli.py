@@ -1,0 +1,94 @@
+"""Command-line entry point.
+
+Reference behavior: edge_diffusion_tts/cli.py + root train.py — argparse
+flags --config --resume --export --batch-size --epochs mapped onto the
+training driver; extra subcommands cover the v2 recipe, benchmarking, and
+HuBERT feature precomputation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="edge-tts-tpu",
+        description="TPU-native Edge Diffusion TTS framework",
+    )
+    sub = p.add_subparsers(dest="command", required=False)
+
+    t = sub.add_parser("train", help="3-phase training (reference train.py)")
+    t.add_argument("--config", type=str, default=None, help="JSON config path")
+    t.add_argument("--resume", type=str, default=None, help="checkpoint path")
+    t.add_argument("--export", action="store_true", help="export StableHLO at end")
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--epochs", type=int, default=None, help="diffusion epochs")
+    t.add_argument(
+        "--phases", type=str, default="diffusion,progressive,consistency"
+    )
+    t.add_argument("--recipe", choices=["v1", "v2"], default="v1")
+
+    b = sub.add_parser("bench", help="latency benchmark (see bench.py)")
+
+    pre = sub.add_parser("precompute", help="precompute HuBERT features")
+    pre.add_argument("root", type=str, help="LJSpeech root directory")
+    pre.add_argument("--limit", type=int, default=None)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from .config import CFG
+
+    if args.command in (None, "train"):
+        cfg = CFG()
+        if getattr(args, "config", None):
+            with open(args.config) as f:
+                cfg = CFG.from_dict(json.load(f))
+        if getattr(args, "batch_size", None):
+            cfg.batch_size = args.batch_size
+        if getattr(args, "epochs", None):
+            cfg.diffusion_epochs = args.epochs
+
+        from .training import train, train_v2
+
+        if getattr(args, "recipe", "v1") == "v2":
+            train_v2(cfg, resume=args.resume, export=args.export)
+        else:
+            phases = [s for s in args.phases.split(",") if s]
+            train(cfg, resume=args.resume, export=args.export, phases=phases)
+
+    elif args.command == "bench":
+        import runpy
+
+        runpy.run_path("bench.py", run_name="__main__")
+
+    elif args.command == "precompute":
+        import jax
+
+        from .config import CFG
+        from .data import precompute_hubert_features
+        from .models import HubertEncoder
+
+        cfg = CFG()
+        hubert = HubertEncoder()
+        params = hubert.init(
+            jax.random.PRNGKey(0), jax.numpy.zeros((1, 4000))
+        )
+        apply = jax.jit(
+            lambda p, wav: hubert.apply(p, wav, method=hubert.extract_layer,
+                                        layer=cfg.hubert_layer)
+        )
+        print(
+            "WARNING: random-init HuBERT; pass converted weights for real use",
+            file=sys.stderr,
+        )
+        precompute_hubert_features(args.root, apply, params, limit=args.limit)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Minimal threaded data loader: shuffle, batch, collate, prefetch.
+
+TPU-native stand-in for torch.utils.data.DataLoader as the reference uses it
+(reference: edge_diffusion_tts/train.py:60-69, num_workers=0 on MPS): a
+single background thread reads/collates the next batches while the device
+computes, which is sufficient because the host work per batch is tiny (the
+mel frontend runs on device — see data/collate.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    """Iterate over ``dataset`` in shuffled batches, collated by ``collate``.
+
+    ``prefetch`` > 0 runs reading+collation in a daemon thread with a bounded
+    queue.  Epoch shuffling is deterministic given ``seed`` (epoch index is
+    folded in, so each epoch gets a fresh order).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate: Callable,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for i in range(0, end, self.batch_size):
+            yield order[i : i + self.batch_size]
+
+    def _produce(self, q: "queue.Queue"):
+        try:
+            for idx in self._batch_indices():
+                items = [self.dataset[int(i)] for i in idx]
+                q.put(self.collate(items))
+            q.put(None)
+        except BaseException as e:  # surface reader errors in the consumer
+            q.put(e)
+
+    def __iter__(self):
+        self.epoch += 1
+        if self.prefetch <= 0:
+            for idx in self._batch_indices():
+                yield self.collate([self.dataset[int(i)] for i in idx])
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -1,0 +1,226 @@
+"""Attention layers: windowed self-attention, cross-attention, and MLA.
+
+The band (sliding-window) mask is generated inline with broadcasted iota —
+static under jit, no host-side mask cache needed (the reference caches torch
+masks per dynamic seq-len: layers/attention.py:94-102).  Softmax statistics
+run in float32.  The self-attention inner product can optionally route
+through the Pallas banded-attention kernel (ops/window_attention.py).
+
+Reference behavior: edge_diffusion_tts/layers/attention.py (EfficientAttention,
+CrossAttention) and edge_diffusion_tts/layers/mla.py (MultiHeadLatentAttention).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .embeddings import apply_rope
+from .norms import RMSNorm
+
+
+def local_attention_mask(seq_len: int, window_size: int) -> jnp.ndarray:
+    """Boolean band mask [T, T]: attend iff |i - j| <= window_size."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
+    return jnp.abs(cols - rows) <= window_size
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention on [B, H, T, D] with fp32 softmax."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+class EfficientAttention(nn.Module):
+    """Multi-head self-attention with fused QKV and optional band mask.
+
+    Parameter layout matches the reference for weight porting: ``qkv`` is a
+    single no-bias projection to 3*dim, ``proj`` has a bias
+    (reference: layers/attention.py:33-123).
+    """
+
+    dim: int
+    heads: int = 4
+    dropout: float = 0.1
+    window_size: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, T, C = x.shape
+        head_dim = self.dim // self.heads
+
+        qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, T, 3, self.heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, H, T, d]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        if self.use_pallas and self.window_size is not None and deterministic:
+            from ..ops.window_attention import banded_attention
+
+            out = banded_attention(q, k, v, self.window_size)
+        else:
+            mask = None
+            if self.window_size is not None:
+                mask = local_attention_mask(T, self.window_size)[None, None]
+            rng = (
+                self.make_rng("dropout")
+                if (self.dropout > 0 and not deterministic)
+                else None
+            )
+            out = sdpa(
+                q,
+                k,
+                v,
+                mask,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                dropout_rng=rng,
+            )
+
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, T, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class CrossAttention(nn.Module):
+    """Standard cross-attention (q from x, fused kv from context).
+
+    Library component for capability parity; the production decoder uses MLA
+    for cross-attention (reference: layers/attention.py:126-188, unused by
+    the decoder — transformer.py:110).
+    """
+
+    dim: int
+    context_dim: Optional[int] = None
+    heads: int = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, context: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        B, T, C = x.shape
+        S = context.shape[1]
+        head_dim = self.dim // self.heads
+
+        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="q")(x)
+        kv = nn.Dense(self.dim * 2, use_bias=False, dtype=self.dtype, name="kv")(
+            context
+        )
+        q = q.reshape(B, T, self.heads, head_dim).transpose(0, 2, 1, 3)
+        kv = kv.reshape(B, S, 2, self.heads, head_dim).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+
+        rng = (
+            self.make_rng("dropout")
+            if (self.dropout > 0 and not deterministic)
+            else None
+        )
+        out = sdpa(
+            q,
+            k,
+            v,
+            None,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            dropout_rng=rng,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class MultiHeadLatentAttention(nn.Module):
+    """DeepSeek-style MLA: KV compressed through a low-rank latent.
+
+    kv_down -> RMSNorm -> kv_up produces K and V; RoPE applies to q,k only in
+    self-attention mode; the band mask applies only in self-attention mode.
+    Used as the decoder's cross-attention (context = semantic tokens).
+    Reference: edge_diffusion_tts/layers/mla.py:61-194.
+    """
+
+    dim: int
+    heads: int = 8
+    kv_lora_rank: Optional[int] = None
+    dropout: float = 0.1
+    window_size: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        cond: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, T, C = x.shape
+        head_dim = self.dim // self.heads
+        rank = self.kv_lora_rank or (self.dim // 2)
+        kv_input = context if context is not None else x
+        S = kv_input.shape[1]
+
+        q_in = x
+        if cond is not None:
+            q_in = q_in + cond[:, None, :]
+        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="q_proj")(q_in)
+        q = q.reshape(B, T, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        c_kv = nn.Dense(rank, use_bias=False, dtype=self.dtype, name="kv_down_proj")(
+            kv_input
+        )
+        c_kv = RMSNorm(rank, dtype=self.dtype, name="kv_norm")(c_kv)
+        kv = nn.Dense(
+            self.dim * 2, use_bias=False, dtype=self.dtype, name="kv_up_proj"
+        )(c_kv)
+        kv = kv.reshape(B, S, 2, self.heads, head_dim).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+
+        if context is None:
+            q, k = apply_rope(q, k)
+
+        mask = None
+        if self.window_size is not None and context is None:
+            mask = local_attention_mask(T, self.window_size)[None, None]
+
+        rng = (
+            self.make_rng("dropout")
+            if (self.dropout > 0 and not deterministic)
+            else None
+        )
+        out = sdpa(
+            q,
+            k,
+            v,
+            mask,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            dropout_rng=rng,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="out_proj")(
+            out
+        )

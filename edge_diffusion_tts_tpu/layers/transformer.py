@@ -1,0 +1,84 @@
+"""Diffusion transformer block: AdaLN self-attn, MLA cross-attn, SwiGLU FFN.
+
+Reference behavior: edge_diffusion_tts/layers/transformer.py:71-160.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import EfficientAttention, MultiHeadLatentAttention
+from .ffn import FeedForward
+from .norms import AdaLayerNorm, RMSNorm
+
+
+class DiffusionTransformerBlock(nn.Module):
+    """Pre-norm residual block with three sub-layers:
+
+    1. AdaLN(timestep cond) + windowed self-attention
+    2. RMSNorm + MLA cross-attention on the semantic context (full attention)
+    3. AdaLN(timestep cond) + SwiGLU feed-forward
+    """
+
+    dim: int
+    context_dim: Optional[int] = None
+    cond_dim: Optional[int] = None
+    heads: int = 4
+    ffn_mult: int = 2
+    dropout: float = 0.1
+    use_adaln: bool = True
+    window_size: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        cond: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cond_dim = self.cond_dim or self.dim
+
+        if self.use_adaln:
+            h = AdaLayerNorm(self.dim, cond_dim, dtype=self.dtype, name="norm1")(
+                x, cond
+            )
+        else:
+            h = RMSNorm(self.dim, dtype=self.dtype, name="norm1")(x)
+        x = x + EfficientAttention(
+            self.dim,
+            self.heads,
+            self.dropout,
+            window_size=self.window_size,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="attn",
+        )(h, deterministic=deterministic)
+
+        h = RMSNorm(self.dim, dtype=self.dtype, name="norm2")(x)
+        x = x + MultiHeadLatentAttention(
+            dim=self.dim,
+            heads=self.heads,
+            kv_lora_rank=self.dim // 2,
+            dropout=self.dropout,
+            window_size=None,  # full attention over the (short) context
+            dtype=self.dtype,
+            name="cross_attn",
+        )(h, context=context, deterministic=deterministic)
+
+        if self.use_adaln:
+            h = AdaLayerNorm(self.dim, cond_dim, dtype=self.dtype, name="norm3")(
+                x, cond
+            )
+        else:
+            h = RMSNorm(self.dim, dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(
+            self.dim, self.ffn_mult, self.dropout, dtype=self.dtype, name="ffn"
+        )(h, deterministic=deterministic)
+
+        return x

@@ -1,0 +1,307 @@
+"""HuBERT-base speech encoder implemented natively in JAX/flax.
+
+The reference consumes a frozen ``transformers.HubertModel`` and takes hidden
+layer 9 (reference: edge_diffusion_tts/models/encoder.py:35-72).  There is no
+Flax Hubert in modern transformers, so this is a from-scratch TPU-native
+implementation of the same architecture (facebook/hubert-base-ls960,
+do_stable_layer_norm=False, feat_extract_norm="group"):
+
+  wav [B, T] ->
+    7x strided Conv1d feature extractor (group-norm on the first layer) ->
+    LayerNorm + Linear(512->768) feature projection ->
+    grouped positional conv (k=128, groups=16, weight-normed) added in ->
+    LayerNorm -> 12 post-LN transformer layers (12 heads, FFN 3072, GELU)
+
+``hidden_states[i]`` indexing matches HF semantics: index 0 is the encoder
+input (post pos-conv+LN), index i is the output of layer i, index 12 is final.
+
+``load_hubert_params_from_torch`` converts a torch ``HubertModel`` state dict
+(weight-norm tensors included) to this module's params for numeric parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class HubertConfig:
+    """Architecture hyperparameters (defaults = hubert-base-ls960)."""
+
+    conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+
+    @classmethod
+    def tiny(cls) -> "HubertConfig":
+        """Small config for tests."""
+        return cls(
+            conv_dim=(16, 16, 16),
+            conv_kernel=(10, 3, 3),
+            conv_stride=(5, 2, 2),
+            hidden_size=32,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=64,
+            num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+        )
+
+
+_gelu = partial(nn.gelu, approximate=False)  # HF "gelu" is erf-based
+
+
+class _FeatureExtractor(nn.Module):
+    """Strided conv stack: wav [B, T] -> features [B, frames, conv_dim[-1]]."""
+
+    cfg: HubertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        x = wav[:, :, None].astype(self.dtype)  # [B, T, 1]
+        for i, (dim, k, s) in enumerate(
+            zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
+        ):
+            x = nn.Conv(
+                features=dim,
+                kernel_size=(k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            if i == 0:
+                # feat_extract_norm="group": GroupNorm(num_groups=dim) on the
+                # first layer only == per-channel instance norm over time.
+                x = nn.GroupNorm(
+                    num_groups=dim, epsilon=1e-5, dtype=self.dtype, name="group_norm"
+                )(x)
+            x = _gelu(x)
+        return x
+
+
+class _PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding (the weight-normed 128-tap conv)."""
+
+    cfg: HubertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.cfg.num_conv_pos_embeddings
+        pad = k // 2
+        h = nn.Conv(
+            features=self.cfg.hidden_size,
+            kernel_size=(k,),
+            padding=[(pad, pad)],
+            feature_group_count=self.cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if k % 2 == 0:
+            h = h[:, :-1, :]  # HubertSamePadLayer trims one for even kernels
+        return _gelu(h)
+
+
+class _EncoderLayer(nn.Module):
+    """Post-LN transformer layer: MHA -> +res -> LN -> FFN -> +res -> LN."""
+
+    cfg: HubertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        head_dim = c.hidden_size // c.num_heads
+        B, T, H = x.shape
+
+        q = nn.Dense(H, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(H, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(H, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(B, T, c.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, c.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, c.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        scale = head_dim**-0.5
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H)
+        attn = nn.Dense(H, dtype=self.dtype, name="out_proj")(attn)
+
+        x = x + attn
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm")(
+            x
+        )
+
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(
+            x
+        )
+        h = _gelu(h)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="output_dense")(h)
+        x = x + h
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"
+        )(x)
+        return x
+
+
+class HubertEncoder(nn.Module):
+    """Full HuBERT model; returns all hidden states (HF-compatible indices)."""
+
+    cfg: HubertConfig = HubertConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, wav: jnp.ndarray, output_hidden_states: bool = True
+    ) -> List[jnp.ndarray]:
+        c = self.cfg
+        feats = _FeatureExtractor(c, dtype=self.dtype, name="feature_extractor")(wav)
+
+        # Feature projection: LN -> Linear(conv_dim[-1] -> hidden)
+        h = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, name="fp_layer_norm"
+        )(feats)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fp_projection")(h)
+
+        pos = _PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(h)
+        h = h + pos
+        h = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, name="encoder_layer_norm"
+        )(h)
+
+        hidden_states = [h]
+        for i in range(c.num_layers):
+            h = _EncoderLayer(c, dtype=self.dtype, name=f"layer_{i}")(h)
+            hidden_states.append(h)
+        if output_hidden_states:
+            return hidden_states
+        return [h]
+
+    def extract_layer(self, wav: jnp.ndarray, layer: int) -> jnp.ndarray:
+        """Hidden state at HF index ``layer`` (9 = standard semantic layer)."""
+        return self(wav, output_hidden_states=True)[layer]
+
+
+# ---------------------------------------------------------------------------
+# Torch -> JAX weight conversion
+# ---------------------------------------------------------------------------
+
+
+def _np(t) -> np.ndarray:
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def load_hubert_params_from_torch(state_dict: Dict, cfg: HubertConfig) -> Dict:
+    """Convert a torch ``HubertModel.state_dict()`` to HubertEncoder params.
+
+    Handles both the parametrized (weight_g/weight_v or parametrizations.*)
+    and materialized forms of the weight-normed positional conv.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    p: Dict = {}
+
+    fe: Dict = {}
+    for i in range(len(cfg.conv_dim)):
+        w = sd[f"feature_extractor.conv_layers.{i}.conv.weight"]  # [out, in, k]
+        fe[f"conv_{i}"] = {"kernel": w.transpose(2, 1, 0)}  # [k, in, out]
+    fe["group_norm"] = {
+        "scale": sd["feature_extractor.conv_layers.0.layer_norm.weight"],
+        "bias": sd["feature_extractor.conv_layers.0.layer_norm.bias"],
+    }
+    p["feature_extractor"] = fe
+
+    p["fp_layer_norm"] = {
+        "scale": sd["feature_projection.layer_norm.weight"],
+        "bias": sd["feature_projection.layer_norm.bias"],
+    }
+    p["fp_projection"] = {
+        "kernel": sd["feature_projection.projection.weight"].T,
+        "bias": sd["feature_projection.projection.bias"],
+    }
+
+    # Positional conv: materialize the weight-normed kernel.
+    prefix = "encoder.pos_conv_embed.conv"
+    if f"{prefix}.weight" in sd:
+        w = sd[f"{prefix}.weight"]  # already materialized
+    else:
+        if f"{prefix}.weight_g" in sd:
+            g = sd[f"{prefix}.weight_g"]
+            v = sd[f"{prefix}.weight_v"]
+        else:  # torch >= 2.1 parametrization naming
+            g = sd[f"{prefix}.parametrizations.weight.original0"]
+            v = sd[f"{prefix}.parametrizations.weight.original1"]
+        # weight_norm with dim=2: norm over dims (0, 1) per kernel position
+        norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / norm
+    # torch grouped conv weight [out, in/groups, k] -> flax [k, in/groups, out]
+    p["pos_conv_embed"] = {
+        "conv": {
+            "kernel": w.transpose(2, 1, 0),
+            "bias": sd[f"{prefix}.bias"],
+        }
+    }
+
+    p["encoder_layer_norm"] = {
+        "scale": sd["encoder.layer_norm.weight"],
+        "bias": sd["encoder.layer_norm.bias"],
+    }
+
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "q_proj": {
+                "kernel": sd[f"{pre}.attention.q_proj.weight"].T,
+                "bias": sd[f"{pre}.attention.q_proj.bias"],
+            },
+            "k_proj": {
+                "kernel": sd[f"{pre}.attention.k_proj.weight"].T,
+                "bias": sd[f"{pre}.attention.k_proj.bias"],
+            },
+            "v_proj": {
+                "kernel": sd[f"{pre}.attention.v_proj.weight"].T,
+                "bias": sd[f"{pre}.attention.v_proj.bias"],
+            },
+            "out_proj": {
+                "kernel": sd[f"{pre}.attention.out_proj.weight"].T,
+                "bias": sd[f"{pre}.attention.out_proj.bias"],
+            },
+            "layer_norm": {
+                "scale": sd[f"{pre}.layer_norm.weight"],
+                "bias": sd[f"{pre}.layer_norm.bias"],
+            },
+            "intermediate_dense": {
+                "kernel": sd[f"{pre}.feed_forward.intermediate_dense.weight"].T,
+                "bias": sd[f"{pre}.feed_forward.intermediate_dense.bias"],
+            },
+            "output_dense": {
+                "kernel": sd[f"{pre}.feed_forward.output_dense.weight"].T,
+                "bias": sd[f"{pre}.feed_forward.output_dense.bias"],
+            },
+            "final_layer_norm": {
+                "scale": sd[f"{pre}.final_layer_norm.weight"],
+                "bias": sd[f"{pre}.final_layer_norm.bias"],
+            },
+        }
+
+    return jax.tree.map(jnp.asarray, {"params": p})

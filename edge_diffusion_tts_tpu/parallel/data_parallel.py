@@ -1,0 +1,108 @@
+"""Data-parallel training and inference over a device mesh.
+
+Strategy (SURVEY §2.3 / BASELINE north star): the model is ~650K params, so
+parameters and optimizer state replicate; the batch shards over the "data"
+mesh axis; gradients (and batch-statistics like the VQ EMA updates) allreduce
+with ``jax.lax.pmean`` — XLA lowers these to ICI collectives on a real TPU
+slice.  Implemented with ``shard_map`` so the collective placement is
+explicit, then jitted with the state donated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..training.state import TrainState
+from ..training.steps import Trainer
+from .mesh import DATA_AXIS
+
+
+def _pmean_floats(tree, axis: str):
+    """pmean float leaves; pass integer leaves through (identical per shard,
+    e.g. the VQ update counter)."""
+    return jax.tree.map(
+        lambda x: jax.lax.pmean(x, axis)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def make_dp_diffusion_step(
+    trainer: Trainer,
+    mesh: Mesh,
+    vq_weight: Optional[float] = None,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """Data-parallel phase-1 step: ``(state, batch, rng) -> (state, metrics)``.
+
+    The batch's leading dim shards over ``axis``; state replicates.  Each
+    shard draws an independent RNG stream (fold in the axis index), computes
+    local grads, and allreduces grads/metrics/VQ statistics, so the update is
+    identical on every shard — numerically the same as one big-batch step.
+    """
+    loss_fn = trainer.make_diffusion_loss(vq_weight)
+    tx = trainer.tx
+
+    def local_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.vq_state, batch, rng
+        )
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.tree.map(
+            lambda x: jax.lax.pmean(x.astype(jnp.float32), axis), metrics
+        )
+        if new_vq_state:
+            new_vq_state = _pmean_floats(new_vq_state, axis)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            vq_state=new_vq_state,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def make_dp_generate(
+    inference_build: Callable,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """Shard a batched generate program over the data axis.
+
+    ``inference_build`` is e.g. ``EdgeInference._build_generate_mel(n)``'s
+    underlying function ``(params, sem_idx, rng, temperature) -> mel``; the
+    batched 32-utterance config (BASELINE.md) shards utterances over chips.
+    """
+    from jax.sharding import NamedSharding
+
+    return jax.jit(
+        inference_build,
+        in_shardings=(
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P(axis)),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=NamedSharding(mesh, P(axis)),
+    )

@@ -1,0 +1,82 @@
+"""Orbax checkpointing: params + optimizer + VQ state + teacher + step + cfg.
+
+Improves on the reference's plain ``torch.save`` dicts, which drop optimizer
+and schedule state so resume restarts training dynamics from scratch
+(reference: edge_diffusion_tts/train.py:117-123, 207-209, 291-297).  Here the
+full TrainState round-trips, and the CFG travels alongside as JSON exactly
+like the reference embeds cfg in its checkpoints (config.py:197-213).
+
+Artifact names mirror the reference:
+  checkpoint_phase1 / checkpoint_phase2 / best_diffusion / edge_model_final.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..config import CFG
+from .state import TrainState
+
+_CFG_FILE = "cfg.json"
+_META_FILE = "meta.json"
+
+
+def save_checkpoint(
+    path: str, state: TrainState, cfg: CFG, meta: Optional[dict] = None
+):
+    """Save the full train state + cfg (+ free-form meta) at ``path``."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, "state"), state, force=True)
+    with open(os.path.join(path, _CFG_FILE), "w") as f:
+        f.write(cfg.to_json())
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta or {}, f)
+
+
+def restore_checkpoint(
+    path: str, state_template: Optional[TrainState] = None
+) -> Tuple[TrainState, CFG, dict]:
+    """Restore (state, cfg, meta).  ``state_template`` fixes pytree structure
+    and dtypes/shardings; without it, arrays restore as host numpy."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if state_template is not None:
+        item = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        state = ckptr.restore(os.path.join(path, "state"), item=item)
+    else:
+        state = ckptr.restore(os.path.join(path, "state"))
+    with open(os.path.join(path, _CFG_FILE)) as f:
+        cfg = CFG.from_json(f.read())
+    meta_path = os.path.join(path, _META_FILE)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if state_template is not None and not isinstance(state, TrainState):
+        state = TrainState(**state)
+    return state, cfg, meta
+
+
+def save_final_model(path: str, params: Any, cfg: CFG):
+    """Inference-only artifact: {encoder, decoder} params + cfg.
+
+    Equivalent of edge_model_final.pt (reference: train.py:291-297).
+    """
+    path = os.path.abspath(path)
+    ocp.PyTreeCheckpointer().save(os.path.join(path, "params"), params, force=True)
+    with open(os.path.join(path, _CFG_FILE), "w") as f:
+        f.write(cfg.to_json())
+
+
+def restore_final_model(path: str) -> Tuple[Any, CFG]:
+    path = os.path.abspath(path)
+    params = ocp.PyTreeCheckpointer().restore(os.path.join(path, "params"))
+    with open(os.path.join(path, _CFG_FILE)) as f:
+        cfg = CFG.from_json(f.read())
+    return params, cfg

@@ -1,0 +1,437 @@
+"""Jitted training and validation steps for all three phases.
+
+Each step is a pure function ``(state, batch, rng) -> (state, metrics)``
+compiled once per shape signature, with the state donated (buffers reused
+in place by XLA).  The mel frontend runs *inside* the step on device.
+
+Reference behavior:
+  - diffusion step: train_v2.py:97-163 (v-prediction, CFG dropout, vq loss)
+    and train.py:148-170 (epsilon objective variant);
+  - progressive distillation: training/consistency.py:52-89;
+  - consistency: training/consistency.py:92-122;
+  - validation: train_v2.py:166-206 (4-step DPM-Solver++ cosine similarity)
+    and utils/visualization.py:18-44 (epsilon-MSE eval).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import CFG
+from ..ops.mel import MelFrontend
+from ..schedule import DiffusionSchedule, DPMSolverPP
+from ..utils.audio import normalize_mel
+from .state import TrainState, ema_update
+
+
+def _mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(a - b))
+
+
+def _cosine_sim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Mean per-sample cosine similarity over flattened [B, -1]."""
+    a = a.reshape(a.shape[0], -1)
+    b = b.reshape(b.shape[0], -1)
+    num = jnp.sum(a * b, axis=1)
+    den = jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(b, axis=1) + 1e-8
+    return jnp.mean(num / den)
+
+
+class Trainer:
+    """Factory for jitted phase steps around (encoder, decoder, schedule, tx).
+
+    Static configuration (modules, optimizer, mel frontend) lives here; all
+    dynamic state is in the TrainState pytree.
+    """
+
+    def __init__(self, cfg: CFG, encoder, decoder, schedule: DiffusionSchedule, tx):
+        self.cfg = cfg
+        self.encoder = encoder
+        self.decoder = decoder
+        self.schedule = schedule
+        self.tx = tx
+        self.mel_frontend = MelFrontend(
+            sample_rate=cfg.sample_rate,
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            win_length=cfg.win_length,
+            n_mels=cfg.n_mels,
+            f_min=cfg.f_min,
+            f_max=cfg.f_max,
+        )
+
+    # -- shared pieces ------------------------------------------------------
+
+    def _encode(
+        self,
+        params: Any,
+        vq_state: Any,
+        batch: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        train: bool,
+    ):
+        """Run the semantic encoder (wav or precomputed-features path)."""
+        variables = {"params": params["encoder"]}
+        if vq_state:
+            variables["vq_state"] = vq_state["encoder"]
+        rngs = {"dropout": jax.random.fold_in(rng, 0), "vq": jax.random.fold_in(rng, 1)}
+        kwargs = dict(train=train, deterministic=not train)
+        if "hubert_features" in batch:
+            outs, mutated = self.encoder.apply(
+                variables,
+                batch["hubert_features"],
+                method=self.encoder.from_features,
+                mutable=["vq_state"],
+                rngs=rngs,
+                **kwargs,
+            )
+        else:
+            outs, mutated = self.encoder.apply(
+                variables, batch["wav"], mutable=["vq_state"], rngs=rngs, **kwargs
+            )
+        new_vq_state = (
+            {"encoder": mutated["vq_state"]} if "vq_state" in mutated else vq_state
+        )
+        return outs, new_vq_state
+
+    def _decode(
+        self,
+        params: Any,
+        x_t: jnp.ndarray,
+        t: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        **cond,
+    ) -> jnp.ndarray:
+        rngs = {"dropout": rng} if rng is not None else None
+        return self.decoder.apply(
+            {"params": params}, x_t, t, deterministic=deterministic, rngs=rngs, **cond
+        )
+
+    def _mel_normalized(self, wav: jnp.ndarray) -> jnp.ndarray:
+        mel = self.mel_frontend(wav)
+        mel_n, _, _ = normalize_mel(mel)
+        return mel_n
+
+    # -- phase 1: diffusion -------------------------------------------------
+
+    def make_diffusion_loss(self, vq_weight: Optional[float] = None) -> Callable:
+        """The phase-1 loss closure ``(params, vq_state, batch, rng) ->
+        (loss, (new_vq_state, metrics))`` — reused by the single-device jitted
+        step and by the shard_map data-parallel step (parallel/data_parallel.py)."""
+        cfg = self.cfg
+        schedule = self.schedule
+        vq_weight = vq_weight if vq_weight is not None else cfg.vq_commit
+
+        def loss_fn(params, vq_state, batch, rng):
+            k_enc, k_cfgdrop, k_t, k_noise, k_dec = jax.random.split(rng, 5)
+            mel_n = self._mel_normalized(batch["wav"])
+            B = mel_n.shape[0]
+
+            (z_q, _, vq_loss, ppl, used), new_vq_state = self._encode(
+                params, vq_state, batch, k_enc, train=True
+            )
+
+            # Classifier-free-guidance conditioning dropout, per sample
+            # (the reference drops per batch, train_v2.py:118-119; per-sample
+            # is the standard CFG recipe and strictly lower-variance).
+            drop = jax.random.bernoulli(k_cfgdrop, cfg.cfg_dropout, (B, 1, 1))
+            z_q = jnp.where(drop, 0.0, z_q)
+
+            t = jax.random.randint(k_t, (B,), 1, cfg.max_timestep)
+            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            x_t, _ = schedule.q_sample(mel_n, t, noise)
+            step_idx = jnp.zeros((B,), jnp.int32)
+
+            pred = self._decode(
+                params["decoder"],
+                x_t,
+                t,
+                rng=k_dec,
+                deterministic=False,
+                sem_features=z_q,
+                step_idx=step_idx,
+            )
+            if cfg.use_v_prediction:
+                target = schedule.get_v_target(mel_n, noise, t)
+                x0_pred = schedule.predict_x0_from_v(x_t, t, pred)
+            else:
+                target = noise
+                x0_pred = schedule.predict_x0_from_eps(x_t, t, pred)
+            diff_loss = _mse(pred, target)
+            loss = diff_loss + vq_weight * vq_loss
+
+            x0_pred = jax.lax.stop_gradient(x0_pred)
+            metrics = {
+                "loss": loss,
+                "diff_loss": diff_loss,
+                "vq_loss": vq_loss,
+                "perplexity": ppl,
+                "used_codes": used,
+                "x0_mse": _mse(x0_pred, mel_n),
+                "x0_cos": _cosine_sim(x0_pred, mel_n),
+            }
+            return loss, (new_vq_state, metrics)
+
+        return loss_fn
+
+    def make_diffusion_step(self, vq_weight: Optional[float] = None) -> Callable:
+        """v-prediction (or epsilon) denoising-objective step with CFG dropout."""
+        loss_fn = self.make_diffusion_loss(vq_weight)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+            grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.vq_state, batch, rng
+            )
+            updates, new_opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype),
+                state.params,
+                updates,
+            )
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                vq_state=new_vq_state,
+                opt_state=new_opt_state,
+            )
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        return step
+
+    # -- phase 2: progressive distillation -----------------------------------
+
+    def make_progressive_step(
+        self, num_steps: int, vq_weight: float = 0.05, ema_decay: float = 0.999
+    ) -> Callable:
+        """Student x0 matches EMA-teacher x0 at the reduced step grid.
+
+        Reference: consistency.py:52-89 + train.py:240-249 (teacher EMA after
+        every optimizer step; vq loss weight 0.05; token-index conditioning).
+        """
+        cfg = self.cfg
+        schedule = self.schedule
+        stride = cfg.diff_steps // num_steps
+
+        def loss_fn(params, teacher, vq_state, batch, rng):
+            k_enc, k_i, k_noise, k_dec = jax.random.split(rng, 4)
+            mel_n = self._mel_normalized(batch["wav"])
+            B = mel_n.shape[0]
+
+            (_, sem_idx, vq_loss, ppl, used), new_vq_state = self._encode(
+                params, vq_state, batch, k_enc, train=True
+            )
+
+            step_indices = jax.random.randint(k_i, (B,), 0, num_steps)
+            t = (step_indices + 1) * stride - 1
+            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            x_t, _ = schedule.q_sample(mel_n, t, noise)
+
+            v_student = self._decode(
+                params["decoder"],
+                x_t,
+                t,
+                rng=k_dec,
+                deterministic=False,
+                sem_idx=sem_idx,
+                step_idx=step_indices,
+            )
+            x0_student = schedule.predict_x0_from_v(x_t, t, v_student)
+
+            if teacher is not None and num_steps < cfg.diff_steps:
+                v_teacher = self._decode(
+                    teacher, x_t, t, sem_idx=sem_idx, step_idx=step_indices
+                )
+                x0_teacher = jax.lax.stop_gradient(
+                    schedule.predict_x0_from_v(x_t, t, v_teacher)
+                )
+                loss = _mse(x0_student, x0_teacher)
+            else:
+                v_target = schedule.get_v_target(mel_n, noise, t)
+                loss = _mse(v_student, v_target)
+
+            loss = loss + vq_weight * vq_loss
+            metrics = {
+                "loss": loss,
+                "vq_loss": vq_loss,
+                "perplexity": ppl,
+                "used_codes": used,
+                "x0_mse": _mse(jax.lax.stop_gradient(x0_student), mel_n),
+            }
+            return loss, (new_vq_state, metrics)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state: TrainState, batch, rng):
+            grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.teacher, state.vq_state, batch, rng
+            )
+            updates, new_opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
+            new_teacher = (
+                ema_update(state.teacher, new_params["decoder"], ema_decay)
+                if state.teacher is not None
+                else None
+            )
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    vq_state=new_vq_state,
+                    opt_state=new_opt_state,
+                    teacher=new_teacher,
+                ),
+                metrics,
+            )
+
+        return step
+
+    # -- phase 3: consistency ------------------------------------------------
+
+    def make_consistency_step(self, vq_weight: float = 0.05) -> Callable:
+        """Same-noise two-timestep consistency + 0.5 * reconstruction.
+
+        Reference: consistency.py:92-122 (x0(t1) matches sg(x0(t2)), both from
+        the student; plus mean of both reconstruction MSEs, halved).
+        """
+        cfg = self.cfg
+        schedule = self.schedule
+
+        def loss_fn(params, vq_state, batch, rng):
+            k_enc, k_t1, k_t2, k_noise, k_dec1, k_dec2 = jax.random.split(rng, 6)
+            mel_n = self._mel_normalized(batch["wav"])
+            B = mel_n.shape[0]
+
+            (_, sem_idx, vq_loss, ppl, used), new_vq_state = self._encode(
+                params, vq_state, batch, k_enc, train=True
+            )
+
+            t1 = jax.random.randint(k_t1, (B,), 1, cfg.diff_steps)
+            t2 = jax.random.randint(k_t2, (B,), 1, cfg.diff_steps)
+            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            x_t1, _ = schedule.q_sample(mel_n, t1, noise)
+            x_t2, _ = schedule.q_sample(mel_n, t2, noise)
+            step_idx = jnp.zeros((B,), jnp.int32)
+
+            v1 = self._decode(
+                params["decoder"], x_t1, t1, rng=k_dec1, deterministic=False,
+                sem_idx=sem_idx, step_idx=step_idx,
+            )
+            v2 = self._decode(
+                params["decoder"], x_t2, t2, rng=k_dec2, deterministic=False,
+                sem_idx=sem_idx, step_idx=step_idx,
+            )
+            x0_1 = schedule.predict_x0_from_v(x_t1, t1, v1)
+            x0_2 = schedule.predict_x0_from_v(x_t2, t2, v2)
+
+            consistency = _mse(x0_1, jax.lax.stop_gradient(x0_2))
+            recon = 0.5 * (_mse(x0_1, mel_n) + _mse(x0_2, mel_n))
+            loss = consistency + recon + vq_weight * vq_loss
+
+            metrics = {
+                "loss": loss,
+                "consistency_loss": consistency,
+                "recon_loss": recon,
+                "vq_loss": vq_loss,
+                "perplexity": ppl,
+                "used_codes": used,
+                "x0_mse": _mse(jax.lax.stop_gradient(x0_1), mel_n),
+            }
+            return loss, (new_vq_state, metrics)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state: TrainState, batch, rng):
+            grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.vq_state, batch, rng
+            )
+            updates, new_opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    vq_state=new_vq_state,
+                    opt_state=new_opt_state,
+                ),
+                metrics,
+            )
+
+        return step
+
+    # -- validation ----------------------------------------------------------
+
+    def make_validate_fn(self, num_steps: int = 4, order: int = 2) -> Callable:
+        """4-step DPM-Solver++ generation scored by cosine similarity to GT.
+
+        Reference: train_v2.py:166-206.  Returns a jitted
+        ``(params, vq_state, batch, rng) -> metrics`` function.
+        """
+        cfg = self.cfg
+        solver = DPMSolverPP(self.schedule, order=order)
+
+        @jax.jit
+        def validate(params, vq_state, batch, rng):
+            k_enc, k_x = jax.random.split(rng)
+            mel_n = self._mel_normalized(batch["wav"])
+            (z_q, _, _, _, _), _ = self._encode(
+                params, vq_state, batch, k_enc, train=False
+            )
+            B, T, _ = mel_n.shape
+            x_T = jax.random.normal(k_x, mel_n.shape, mel_n.dtype)
+
+            def model_fn(x, t, step_idx):
+                return self._decode(
+                    params["decoder"], x, t, sem_features=z_q, step_idx=step_idx
+                )
+
+            x0 = solver.sample(model_fn, x_T, num_steps, max_t=cfg.max_timestep)
+            return {
+                "val_cos": _cosine_sim(x0, mel_n),
+                "val_mse": _mse(x0, mel_n),
+            }
+
+        return validate
+
+    def make_eval_eps_fn(self) -> Callable:
+        """Epsilon-MSE on a validation batch (reference: visualization.py:18-44)."""
+        cfg = self.cfg
+        schedule = self.schedule
+
+        @jax.jit
+        def evaluate(params, vq_state, batch, rng):
+            k_enc, k_t, k_noise = jax.random.split(rng, 3)
+            mel_n = self._mel_normalized(batch["wav"])
+            B = mel_n.shape[0]
+            (z_q, sem_idx, _, _, _), _ = self._encode(
+                params, vq_state, batch, k_enc, train=False
+            )
+            t = jax.random.randint(k_t, (B,), 1, cfg.diff_steps)
+            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            x_t, _ = schedule.q_sample(mel_n, t, noise)
+            pred = self._decode(
+                params["decoder"], x_t, t, sem_idx=sem_idx,
+                step_idx=jnp.zeros((B,), jnp.int32),
+            )
+            if cfg.use_v_prediction:
+                target = schedule.get_v_target(mel_n, noise, t)
+            else:
+                target = noise
+            return {"val_eps_mse": _mse(pred, target)}
+
+        return evaluate

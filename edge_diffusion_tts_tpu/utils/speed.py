@@ -1,0 +1,104 @@
+"""Performance utilities: timing, benchmarking, profiling, checkpointed scans.
+
+TPU-native equivalents of the reference's speed toolkit (reference:
+edge_diffusion_tts/utils/speed_utils.py):
+
+  torch.compile            -> jax.jit (applied throughout the framework)
+  AMP/GradScaler           -> bf16 compute dtype (no loss scaling on TPU)
+  fused AdamW              -> optax.adamw (fused under XLA)
+  gradient checkpointing   -> jax.checkpoint / nn.remat (``remat_decoder``)
+  TimingContext            -> TimingContext (block_until_ready, not cudaSync)
+  benchmark_model          -> benchmark (warmup + timed runs, full stats)
+  profiler                 -> jax.profiler trace helpers
+"""
+
+from __future__ import annotations
+
+import contextlib
+import statistics
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+
+class TimingContext:
+    """Wall-clock timing that synchronizes on device completion.
+
+    Reference: speed_utils.py:161-182 (CUDA-sync timing context).
+    """
+
+    def __init__(self, name: str = "block", verbose: bool = True):
+        self.name = name
+        self.verbose = verbose
+        self.elapsed_ms: float = 0.0
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        # Synchronize: wait for everything dispatched so far.
+        (jax.device_put(0.0) + 0).block_until_ready()
+        self.elapsed_ms = (time.perf_counter() - self._t0) * 1e3
+        if self.verbose:
+            print(f"[{self.name}] {self.elapsed_ms:.2f} ms")
+        return False
+
+
+def benchmark(
+    fn: Callable,
+    *args,
+    warmup: int = 5,
+    runs: int = 20,
+    **kwargs,
+) -> Dict[str, float]:
+    """Warmup + timed runs with block_until_ready; returns stats in ms.
+
+    Reference: speed_utils.py:185-226 (benchmark_model).
+    """
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args, **kwargs))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args, **kwargs))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return {
+        "mean_ms": statistics.mean(times),
+        "median_ms": statistics.median(times),
+        "min_ms": min(times),
+        "max_ms": max(times),
+        "std_ms": statistics.stdev(times) if len(times) > 1 else 0.0,
+        "runs": float(runs),
+    }
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/jax_trace"):
+    """jax.profiler trace context (view with TensorBoard or Perfetto)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def remat_decoder(decoder_cls, *args, **kwargs):
+    """Gradient-checkpointed decoder: recompute block activations in backward.
+
+    TPU equivalent of the reference's checkpointing monkey-patch
+    (speed_utils.py:19-48) — trades FLOPs for HBM.  Usage:
+    ``RematDecoder = remat_decoder(EdgeDiffusionDecoder); RematDecoder(cfg)``.
+    """
+    import flax.linen as nn
+
+    return nn.remat(decoder_cls, *args, **kwargs)
+
+
+def memory_stats(device: Optional[jax.Device] = None) -> Dict[str, float]:
+    """Device memory stats in MB (replaces speed_utils.memory_cleanup's role:
+    on XLA, buffers free when their python references drop)."""
+    device = device or jax.devices()[0]
+    stats = device.memory_stats() or {}
+    return {k: v / 1e6 for k, v in stats.items() if isinstance(v, (int, float))}

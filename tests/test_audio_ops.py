@@ -1,0 +1,180 @@
+"""Audio ops: STFT vs torch.stft, mel filterbank, iSTFT round-trip,
+resampler correctness, Griffin-Lim convergence, mel normalization parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edge_diffusion_tts_tpu.ops.mel import (
+    MelFrontend,
+    hann_window,
+    inverse_mel_scale,
+    istft,
+    mel_filterbank,
+    stft_complex,
+    stft_power,
+)
+from edge_diffusion_tts_tpu.ops.resample import resample
+from edge_diffusion_tts_tpu.ops.vocoder import griffin_lim
+from edge_diffusion_tts_tpu.utils.audio import denormalize_mel, normalize_mel
+
+SR = 16000
+
+
+def _chirp(n, sr=SR, f0=100.0, f1=4000.0):
+    t = np.arange(n) / sr
+    phase = 2 * np.pi * (f0 * t + (f1 - f0) * t**2 / (2 * t[-1]))
+    return (0.5 * np.sin(phase)).astype(np.float32)
+
+
+def test_hann_window_matches_torch():
+    import torch
+
+    ours = np.asarray(hann_window(1024))
+    ref = torch.hann_window(1024, periodic=True).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_stft_power_matches_torch_stft():
+    import torch
+
+    wav = _chirp(4000)
+    ours = np.asarray(stft_power(jnp.asarray(wav)[None], 1024, 160, 1024))
+
+    ref = torch.stft(
+        torch.from_numpy(wav),
+        n_fft=1024,
+        hop_length=160,
+        win_length=1024,
+        window=torch.hann_window(1024),
+        center=True,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    ref_power = (ref.abs() ** 2).numpy().T[None]  # [1, frames, freqs]
+    assert ours.shape == ref_power.shape
+    np.testing.assert_allclose(ours, ref_power, atol=2e-2, rtol=1e-4)
+
+
+def test_stft_complex_matches_torch():
+    import torch
+
+    wav = _chirp(3200)
+    re, im = stft_complex(jnp.asarray(wav)[None], 1024, 160, 1024)
+    ref = torch.stft(
+        torch.from_numpy(wav),
+        n_fft=1024,
+        hop_length=160,
+        win_length=1024,
+        window=torch.hann_window(1024),
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    )
+    np.testing.assert_allclose(np.asarray(re)[0], ref.real.numpy().T, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im)[0], ref.imag.numpy().T, atol=2e-3)
+
+
+def test_istft_roundtrip():
+    wav = _chirp(3200)
+    re, im = stft_complex(jnp.asarray(wav)[None], 1024, 160, 1024)
+    rec = np.asarray(istft(re, im, 1024, 160, 1024, length=3200))[0]
+    # interior samples reconstruct exactly (edges lose window coverage)
+    np.testing.assert_allclose(rec[512:-512], wav[512:-512], atol=1e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(513, 0.0, 8000.0, 80, SR)
+    assert fb.shape == (513, 80)
+    assert np.all(fb >= 0)
+    # each filter has nonzero mass; peaks ascend in frequency
+    assert np.all(fb.sum(axis=0) > 0)
+    peaks = fb.argmax(axis=0)
+    assert np.all(np.diff(peaks) >= 0)
+
+
+def test_mel_frontend_shapes_and_determinism():
+    fe = MelFrontend(sample_rate=SR)
+    wav = jnp.asarray(_chirp(32000))[None]
+    mel = fe(wav)
+    assert mel.shape == (1, 201, 80)  # 32000/160 + 1 frames
+    # log-clamp floor
+    assert float(jnp.min(mel)) >= np.log(1e-5) - 1e-5
+    mel2 = fe(wav)
+    np.testing.assert_array_equal(np.asarray(mel), np.asarray(mel2))
+
+
+def test_resample_preserves_sine_frequency():
+    # 440 Hz sine at 22050 -> 16000 must stay 440 Hz with same amplitude
+    sr_in, sr_out = 22050, 16000
+    n = 22050
+    t = np.arange(n) / sr_in
+    wav = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    out = np.asarray(resample(jnp.asarray(wav), sr_in, sr_out))
+    assert abs(out.shape[0] - int(np.ceil(n * sr_out / sr_in))) == 0
+    t_out = np.arange(out.shape[0]) / sr_out
+    expected = np.sin(2 * np.pi * 440.0 * t_out).astype(np.float32)
+    # ignore filter edges
+    sl = slice(200, -200)
+    np.testing.assert_allclose(out[sl], expected[sl], atol=5e-3)
+
+
+def test_resample_identity():
+    wav = jnp.asarray(_chirp(1000))
+    out = resample(wav, SR, SR)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(wav))
+
+
+def test_resample_batch_shape():
+    wav = jnp.asarray(np.stack([_chirp(2205), _chirp(2205)]))
+    out = resample(wav, 22050, 16000)
+    assert out.shape == (2, 1600)
+
+
+def test_griffin_lim_reconstructs_audible_signal():
+    wav = _chirp(8000)
+    spec = stft_power(jnp.asarray(wav)[None], 1024, 160, 1024)
+    rec = np.asarray(
+        griffin_lim(
+            spec, jax.random.PRNGKey(0), n_iter=32, length=8000
+        )
+    )[0]
+    assert rec.shape == (8000,)
+    # spectral convergence: rebuilt magnitude close to target
+    rec_spec = np.asarray(stft_power(jnp.asarray(rec)[None], 1024, 160, 1024))
+    target = np.asarray(spec)
+    err = np.linalg.norm(np.sqrt(rec_spec) - np.sqrt(target)) / np.linalg.norm(
+        np.sqrt(target)
+    )
+    assert err < 0.15, f"spectral convergence too poor: {err}"
+
+
+def test_inverse_mel_scale_roundtrip():
+    fe = MelFrontend(sample_rate=SR)
+    wav = jnp.asarray(_chirp(8000))[None]
+    spec = stft_power(wav, 1024, 160, 1024)
+    mel = jnp.einsum("btf,fm->btm", spec, fe.fbank)
+    spec_rec = inverse_mel_scale(mel, fe.fbank)
+    # project back to mel: must match well (mel -> spec is underdetermined,
+    # but fb @ pinv(fb) ~ I on the mel subspace)
+    mel_rec = jnp.einsum("btf,fm->btm", spec_rec, fe.fbank)
+    err = np.linalg.norm(np.asarray(mel_rec - mel)) / np.linalg.norm(np.asarray(mel))
+    assert err < 0.05
+
+
+def test_normalize_mel_matches_torch_std():
+    import torch
+
+    mel = np.random.RandomState(0).randn(2, 50, 8).astype(np.float32)
+    ours, mean, std = normalize_mel(jnp.asarray(mel))
+    tmel = torch.from_numpy(mel)
+    tmean = tmel.mean(dim=1, keepdim=True)
+    tstd = tmel.std(dim=1, keepdim=True).clamp_min(1e-5)
+    ref = ((tmel - tmean) / tstd).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+    back = denormalize_mel(ours, mean, std)
+    np.testing.assert_allclose(np.asarray(back), mel, atol=1e-5)

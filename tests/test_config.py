@@ -1,0 +1,47 @@
+"""CFG: derivation, serialization round-trip, derived sizes."""
+
+import jax
+
+from edge_diffusion_tts_tpu.config import CFG, TrainPhase, hubert_num_frames
+
+
+def test_segment_len_derivation():
+    cfg = CFG(segment_secs=2.0, sample_rate=16000)
+    assert cfg.segment_len == 32000
+    assert cfg.segment_len % 320 == 0
+    cfg2 = CFG(segment_secs=1.9, sample_rate=16000)
+    assert cfg2.segment_len == (int(16000 * 1.9) // 320) * 320
+
+
+def test_json_roundtrip(tmp_path):
+    cfg = CFG(out_dir=str(tmp_path), phase=TrainPhase.CONSISTENCY, hidden=96)
+    d = cfg.to_dict()
+    assert d["phase"] == "consistency"
+    cfg2 = CFG.from_dict(d)
+    assert cfg2.phase == TrainPhase.CONSISTENCY
+    assert cfg2.hidden == 96
+    assert cfg2.segment_len == cfg.segment_len
+    # unknown keys ignored
+    d["not_a_field"] = 1
+    CFG.from_dict(d)
+
+
+def test_effective_codebook_size():
+    cfg = CFG(use_fsq=True)
+    assert cfg.effective_codebook_size() == 4 * 4 * 3 * 3 * 2 * 2 * 2 * 2  # 2304
+    cfg2 = CFG(use_fsq=False, codebook_size=512)
+    assert cfg2.effective_codebook_size() == 512
+
+
+def test_derived_frame_counts():
+    cfg = CFG()
+    assert cfg.segment_mel_frames == 32000 // 160 + 1  # 201, matches torchaudio
+    # HuBERT-base: 32000 samples -> 99 frames (hop 320, receptive field 400)
+    assert cfg.segment_sem_frames == hubert_num_frames(32000)
+    assert hubert_num_frames(16000 * 5) == 249
+
+
+def test_set_seed_returns_key():
+    cfg = CFG()
+    key = cfg.setup_environment()
+    assert isinstance(key, jax.Array)

@@ -1,0 +1,83 @@
+"""EdgeInference API: shapes, determinism, num_steps variants, export."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edge_diffusion_tts_tpu.config import CFG
+from edge_diffusion_tts_tpu.inference import EdgeInference
+from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
+from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
+from edge_diffusion_tts_tpu.schedule import DiffusionSchedule
+
+
+@pytest.fixture(scope="module")
+def tiny_inference():
+    cfg = CFG(hidden=32, layers=1, heads=2, diff_steps=40, dropout=0.0)
+    decoder = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(decoder, jax.random.PRNGKey(0), cfg)["params"]
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    inf = EdgeInference(
+        cfg,
+        schedule,
+        lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
+        params,
+    )
+    return cfg, decoder, params, inf
+
+
+@pytest.mark.parametrize("num_steps", [1, 2, 4])
+def test_generate_mel_shapes(tiny_inference, num_steps):
+    cfg, _, _, inf = tiny_inference
+    sem_idx = jnp.zeros((2, 25), jnp.int32)
+    mel = inf.generate_mel(sem_idx, num_steps=num_steps)
+    assert mel.shape == (2, 50, cfg.n_mels)  # T_out = 2 * S
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_generate_mel_deterministic_given_rng(tiny_inference):
+    cfg, _, _, inf = tiny_inference
+    sem_idx = jnp.zeros((1, 20), jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    a = inf.generate_mel(sem_idx, num_steps=2, rng=rng)
+    b = inf.generate_mel(sem_idx, num_steps=2, rng=rng)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_from_audio_requires_encoder(tiny_inference):
+    cfg, _, _, inf = tiny_inference
+    with pytest.raises(ValueError):
+        inf.generate_from_audio(jnp.zeros((100,)))
+
+
+def test_export_stablehlo_roundtrip(tiny_inference, tmp_path):
+    cfg, decoder, params, _ = tiny_inference
+    from edge_diffusion_tts_tpu.utils.export import export_for_edge, load_exported
+
+    path = os.path.join(str(tmp_path), "dec.stablehlo")
+    export_for_edge(cfg, decoder, params, path, dynamic=False)
+    assert os.path.getsize(path) > 1000
+    exported = load_exported(path)
+    x = jnp.zeros((1, 200, cfg.n_mels), jnp.float32)
+    t = jnp.full((1,), 5, jnp.int32)
+    sem = jnp.zeros((1, 100), jnp.int32)
+    si = jnp.zeros((1,), jnp.int32)
+    out = exported.call(params, x, t, sem, si)
+    ref = decoder.apply({"params": params}, x, t, sem_idx=sem, step_idx=si)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_cli_parser():
+    from edge_diffusion_tts_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["train", "--batch-size", "8", "--epochs", "2"])
+    assert a.command == "train" and a.batch_size == 8 and a.epochs == 2
+    a = p.parse_args(["bench"])
+    assert a.command == "bench"
+    a = p.parse_args(["precompute", "/tmp/x", "--limit", "5"])
+    assert a.root == "/tmp/x" and a.limit == 5

@@ -1,0 +1,217 @@
+"""Training subsystem: all three phase steps, optimizer masking, EMA,
+checkpoint round-trip, LR schedule, and a 3-phase smoke train run."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edge_diffusion_tts_tpu.config import CFG
+from edge_diffusion_tts_tpu.models.hubert import HubertConfig
+from edge_diffusion_tts_tpu.schedule import DiffusionSchedule
+from edge_diffusion_tts_tpu.training import (
+    Trainer,
+    create_train_state,
+    ema_update,
+    init_models,
+    make_optimizer,
+    progressive_step_schedule,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        hidden=32,
+        layers=1,
+        heads=2,
+        segment_secs=0.1,
+        batch_size=2,
+        grad_accumulation=1,
+        diff_steps=50,
+        max_timestep=48,
+        diffusion_epochs=1,
+        progressive_epochs_per_halving=1,
+        consistency_epochs=1,
+        dropout=0.0,
+    )
+    defaults.update(kw)
+    return CFG(**defaults)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    rng = jax.random.PRNGKey(0)
+    encoder, decoder, params, vq_state = init_models(
+        cfg, rng, hubert_cfg=HubertConfig.tiny()
+    )
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    tx = make_optimizer(cfg, total_steps=100)
+    trainer = Trainer(cfg, encoder, decoder, schedule, tx)
+    state = create_train_state(cfg, params, vq_state, tx)
+    batch = {
+        "wav": jnp.asarray(
+            np.random.RandomState(0)
+            .randn(cfg.batch_size, cfg.segment_len)
+            .astype(np.float32)
+            * 0.1
+        )
+    }
+    return cfg, trainer, state, batch
+
+
+def test_diffusion_step_decreases_loss(setup):
+    cfg, trainer, state, batch = setup
+    step = trainer.make_diffusion_step()
+    rng = jax.random.PRNGKey(1)
+    state = jax.tree.map(jnp.copy, state)
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, 0))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 5
+    assert np.isfinite(losses).all()
+    # Same batch + same rng every step: loss must drop as params learn it.
+    assert losses[-1] < losses[0]
+
+
+def test_hubert_params_frozen(setup):
+    cfg, trainer, state, batch = setup
+    step = trainer.make_diffusion_step()
+    state = jax.tree.map(jnp.copy, state)
+    before = jax.tree.map(np.asarray, state.params["encoder"]["hubert"])
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+    after = state.params["encoder"]["hubert"]
+    leaves_b = jax.tree.leaves(before)
+    leaves_a = jax.tree.leaves(after)
+    for b, a in zip(leaves_b, leaves_a):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_progressive_step_with_teacher(setup):
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state).with_teacher()
+    step = trainer.make_progressive_step(num_steps=4)
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    # teacher must have moved toward the updated student (EMA)
+    t_leaf = np.asarray(jax.tree.leaves(state.teacher)[0])
+    s_leaf = np.asarray(jax.tree.leaves(state.params["decoder"])[0])
+    assert t_leaf.shape == s_leaf.shape
+
+
+def test_consistency_step(setup):
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state)
+    step = trainer.make_consistency_step()
+    state, metrics = step(state, batch, jax.random.PRNGKey(4))
+    for k in ("loss", "consistency_loss", "recon_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_validate_fn(setup):
+    cfg, trainer, state, batch = setup
+    validate = trainer.make_validate_fn(num_steps=2)
+    m = validate(state.params, state.vq_state, batch, jax.random.PRNGKey(5))
+    assert -1.0 <= float(m["val_cos"]) <= 1.0
+    assert np.isfinite(float(m["val_mse"]))
+
+
+def test_ema_update_moves_toward_student():
+    teacher = {"w": jnp.zeros(3)}
+    student = {"w": jnp.ones(3)}
+    out = ema_update(teacher, student, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
+
+
+def test_progressive_step_schedule():
+    assert progressive_step_schedule(1000, 4) == [500, 250, 125, 62, 31, 15, 7, 4]
+    assert progressive_step_schedule(8, 4) == [4]
+    assert progressive_step_schedule(4, 4) == []
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state)
+    step = trainer.make_diffusion_step()
+    state, _ = step(state, batch, jax.random.PRNGKey(6))
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, state, cfg, {"note": "test"})
+    restored, cfg2, meta = restore_checkpoint(path, state)
+    assert int(restored.step) == int(state.step)
+    assert meta["note"] == "test"
+    assert cfg2.hidden == cfg.hidden
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accumulation_multisteps():
+    cfg = tiny_cfg(grad_accumulation=2)
+    rng = jax.random.PRNGKey(0)
+    encoder, decoder, params, vq_state = init_models(
+        cfg, rng, hubert_cfg=HubertConfig.tiny()
+    )
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    tx = make_optimizer(cfg, total_steps=100)
+    trainer = Trainer(cfg, encoder, decoder, schedule, tx)
+    state = create_train_state(cfg, params, vq_state, tx)
+    step = trainer.make_diffusion_step()
+    batch = {"wav": jnp.zeros((cfg.batch_size, cfg.segment_len), jnp.float32)}
+    p0 = np.asarray(state.params["decoder"]["out_proj"]["kernel"])
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    # First micro-step accumulates only: params unchanged.
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["out_proj"]["kernel"]), p0
+    )
+    # Micro-steps 2-4: the inner optimizer applies at steps 2 and 4 (the
+    # first inner update is a no-op because warmup LR starts at 0).
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(2 + i))
+    assert not np.array_equal(
+        np.asarray(state.params["decoder"]["out_proj"]["kernel"]), p0
+    )
+
+
+def test_train_driver_smoke(tmp_path):
+    """End-to-end 3-phase driver on synthetic data (1 epoch each, tiny)."""
+    from edge_diffusion_tts_tpu.training import train
+
+    cfg = tiny_cfg(
+        diff_steps=8,
+        max_timestep=7,
+        progressive_target_steps=4,
+        out_dir=str(tmp_path),
+        val_batches=1,
+        log_every_steps=1,
+    )
+
+    wavs = (
+        np.random.RandomState(0)
+        .randn(2, cfg.batch_size, cfg.segment_len)
+        .astype(np.float32)
+        * 0.1
+    )
+    loader = [{"wav": w} for w in wavs]
+
+    from edge_diffusion_tts_tpu.models.hubert import HubertConfig
+
+    state = train(
+        cfg,
+        train_loader=loader,
+        val_loader=loader[:1],
+        hubert_cfg=HubertConfig.tiny(),
+        phases=["diffusion", "progressive", "consistency"],
+    )
+    # 1 diffusion epoch (2 steps) + 1 halving x 1 epoch (2) + 1 consistency (2)
+    assert int(state.step) == 6
+    run_dir = cfg.get_run_dir()
+    assert os.path.isdir(os.path.join(run_dir, "checkpoint_phase1"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoint_phase2"))
+    assert os.path.isdir(os.path.join(run_dir, "edge_model_final"))
+    assert os.path.isfile(os.path.join(run_dir, "metrics.jsonl"))
