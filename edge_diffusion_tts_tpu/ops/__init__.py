@@ -9,11 +9,16 @@ from .mel import (
     stft_complex,
     stft_power,
 )
+from .fused_denoise import FusedEdgeInference, fused_generate_mel
 from .resample import resample
 from .vocoder import griffin_lim
+from .window_attention import banded_attention
 
 __all__ = [
+    "FusedEdgeInference",
     "MelFrontend",
+    "banded_attention",
+    "fused_generate_mel",
     "griffin_lim",
     "hann_window",
     "inverse_mel_scale",

@@ -1,0 +1,76 @@
+"""Fused Pallas denoise mega-kernel vs the lax.scan DDIM oracle (interpret
+mode on CPU; the TPU path is exercised by bench.py / verify)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edge_diffusion_tts_tpu.config import CFG
+from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
+from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
+from edge_diffusion_tts_tpu.ops.fused_denoise import (
+    FusedEdgeInference,
+    fused_generate_mel,
+)
+from edge_diffusion_tts_tpu.schedule import DiffusionSchedule, ddim_sample
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = CFG(hidden=32, layers=2, heads=2, dropout=0.0, attn_window_size=8)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, jax.random.PRNGKey(0), cfg)["params"]
+    # Randomize (incl. the zero-init out head) so outputs are nontrivial.
+    leaves, tree = jax.tree.flatten(params)
+    ks = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    params = jax.tree.unflatten(
+        tree, [p + 0.02 * jax.random.normal(k, p.shape) for p, k in zip(leaves, ks)]
+    )
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    return cfg, dec, params, schedule
+
+
+@pytest.mark.parametrize("num_steps", [1, 4])
+def test_fused_matches_oracle(setup, num_steps):
+    cfg, dec, params, schedule = setup
+    B, S = 2, 12
+    sem_idx = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, 2304)
+    x_T = jax.random.normal(jax.random.PRNGKey(2), (B, S * 2, cfg.n_mels))
+
+    def model_fn(x, t, si):
+        return dec.apply({"params": params}, x, t, sem_idx=sem_idx, step_idx=si)
+
+    oracle = ddim_sample(schedule, model_fn, x_T, num_steps, prediction="eps")
+    fused = fused_generate_mel(
+        cfg, schedule, params, sem_idx, x_T, num_steps, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(oracle), atol=1e-4
+    )
+
+
+def test_fused_v_prediction(setup):
+    cfg, dec, params, schedule = setup
+    B, S = 1, 10
+    sem_idx = jnp.zeros((B, S), jnp.int32)
+    x_T = jax.random.normal(jax.random.PRNGKey(3), (B, S * 2, cfg.n_mels))
+
+    def model_fn(x, t, si):
+        return dec.apply({"params": params}, x, t, sem_idx=sem_idx, step_idx=si)
+
+    oracle = ddim_sample(schedule, model_fn, x_T, 2, prediction="v")
+    fused = fused_generate_mel(
+        cfg, schedule, params, sem_idx, x_T, 2, prediction="v", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle), atol=1e-4)
+
+
+def test_fused_facade(setup):
+    cfg, dec, params, schedule = setup
+    inf = FusedEdgeInference(cfg, schedule, params)
+    sem_idx = jnp.zeros((1, 8), jnp.int32)
+    mel = inf.generate_mel(sem_idx, num_steps=2)
+    assert mel.shape == (1, 16, cfg.n_mels)
+    assert np.isfinite(np.asarray(mel)).all()
