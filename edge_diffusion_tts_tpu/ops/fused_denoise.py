@@ -241,8 +241,9 @@ def fused_generate_mel(
         interpret = jax.default_backend() == "cpu"
 
     # ---- step grid + schedule constants (host, static) ----
-    stride = schedule.T // num_steps
+    stride = max(schedule.T // num_steps, 1)
     ts = schedule.get_schedule_for_steps(num_steps)
+    num_steps = len(ts)  # the strided grid may be shorter than requested
     ab = np.asarray(schedule.alpha_bar)
     coeffs = np.zeros((num_steps, 4), np.float32)
     for i, t in enumerate(ts):

@@ -202,7 +202,7 @@ class DiffusionSchedule:
 
         Reference: schedule.py:240-252.
         """
-        stride = self.T // num_steps
+        stride = max(self.T // num_steps, 1)
         return list(range(self.T - 1, 0, -stride))[:num_steps]
 
 
@@ -225,11 +225,13 @@ def ddim_sample(
     timesteps = range(T-1, 0, -stride)[:n], t_prev = max(t - stride, 0).
     """
     B = x_T.shape[0]
-    stride = schedule.T // num_steps
+    stride = max(schedule.T // num_steps, 1)
     ts = schedule.get_schedule_for_steps(num_steps)
     t_grid = jnp.asarray(ts, dtype=jnp.int32)
     t_prev_grid = jnp.asarray([max(t - stride, 0) for t in ts], dtype=jnp.int32)
-    step_grid = jnp.arange(num_steps, dtype=jnp.int32)
+    # The strided grid can hold fewer than num_steps entries when stride
+    # does not tile [1, T); iterate what exists.
+    step_grid = jnp.arange(len(ts), dtype=jnp.int32)
 
     def body(carry, inp):
         x, _ = carry

@@ -108,6 +108,48 @@ def _run_epoch(
     return state, metrics
 
 
+def make_visualization_hook(
+    cfg: CFG, trainer: Trainer, val_batch, run_dir: str
+) -> Callable:
+    """Periodic GT-vs-N-step-generation PNG grids during training.
+
+    Reference: train.py:184-186 calling visualize_generation every
+    plot_every_steps with steps [4, 8, 16].
+    """
+    import jax.numpy as jnp
+
+    from ..schedule import ddim_sample
+    from ..utils.visualization import visualize_generation
+
+    batch1 = {k: jnp.asarray(v[:1]) for k, v in val_batch.items()}
+    prediction = "v" if cfg.use_v_prediction else "eps"
+
+    def hook(step: int, state):
+        if cfg.plot_every_steps <= 0 or step % cfg.plot_every_steps:
+            return
+        rng = jax.random.PRNGKey(step)
+        mel_n = trainer._mel_normalized(batch1["wav"])
+        (_, sem_idx, _, _, _), _ = trainer._encode(
+            state.params, state.vq_state, batch1, rng, train=False
+        )
+
+        def gen(num_steps, rng):
+            x_T = jax.random.normal(rng, mel_n.shape)
+
+            def model_fn(x, t, si):
+                return trainer._decode(
+                    state.params["decoder"], x, t, sem_idx=sem_idx, step_idx=si
+                )
+
+            return ddim_sample(
+                trainer.schedule, model_fn, x_T, num_steps, prediction=prediction
+            )[0]
+
+        visualize_generation(gen, mel_n[0], step, run_dir, steps_list=(4, 8, 16))
+
+    return hook
+
+
 def train(
     cfg: CFG,
     train_loader=None,
@@ -172,6 +214,13 @@ def train(
 
     validate = trainer.make_validate_fn(num_steps=cfg.inference_steps)
     best_val_cos = -float("inf")
+
+    if hooks is None and val_loader is not None and cfg.plot_every_steps > 0:
+        try:
+            first_val = next(iter(val_loader))
+            hooks = [make_visualization_hook(cfg, trainer, first_val, run_dir)]
+        except StopIteration:
+            hooks = []
 
     def _maybe_validate(state: TrainState, tag: str):
         nonlocal best_val_cos, rng
