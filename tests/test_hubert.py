@@ -89,6 +89,41 @@ def test_parity_with_torch_hubert(torch_pair):
         )
 
 
+def test_parity_full_size_hubert_base():
+    """Full hubert-base-ls960 architecture (random init): layer-9 parity.
+
+    Exercises the exact conversion path used for real pretrained weights
+    (12 layers, 768 hidden, weight-normed 128-tap positional conv).
+    """
+    import torch
+    from transformers import HubertConfig as HFConfig
+    from transformers import HubertModel
+
+    full = HubertConfig()
+    hf_cfg = HFConfig(
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(1)
+    model = HubertModel(hf_cfg).eval()
+
+    enc = HubertEncoder(full)
+    params = load_hubert_params_from_torch(model.state_dict(), full)
+
+    wav = (np.random.RandomState(2).randn(1, 3200) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(wav), output_hidden_states=True)
+    ref9 = ref.hidden_states[9].numpy()
+
+    ours = enc.apply(params, jnp.asarray(wav), method=HubertEncoder.extract_layer,
+                     layer=9)
+    np.testing.assert_allclose(np.asarray(ours), ref9, atol=2e-3, rtol=1e-2)
+
+
 def test_extract_layer_matches_indexing(torch_pair):
     torch, model, tiny = torch_pair
     enc = HubertEncoder(tiny)
