@@ -151,6 +151,7 @@ class CFG:
     val_every_steps: int = 200
     plot_every_steps: int = 100
     val_batches: int = 4
+    ckpt_every_steps: int = 500  # periodic checkpoint_latest (0 = phase-end only)
 
     # ===== INFERENCE =====
     inference_steps: int = 4

@@ -1,6 +1,11 @@
 """Parallelism: device meshes, data-parallel steps, sharded inference."""
 
-from .data_parallel import make_dp_diffusion_step, make_dp_generate
+from .data_parallel import (
+    make_dp_consistency_step,
+    make_dp_diffusion_step,
+    make_dp_generate,
+    make_dp_progressive_step,
+)
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -15,8 +20,10 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
+    "make_dp_consistency_step",
     "make_dp_diffusion_step",
     "make_dp_generate",
+    "make_dp_progressive_step",
     "make_mesh",
     "replicate",
     "replicated",

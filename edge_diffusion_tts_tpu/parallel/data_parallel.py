@@ -83,6 +83,100 @@ def make_dp_diffusion_step(
     return jax.jit(sharded, donate_argnums=0)
 
 
+def make_dp_progressive_step(
+    trainer: Trainer,
+    mesh: Mesh,
+    num_steps: int,
+    vq_weight: float = 0.05,
+    ema_decay: float = 0.999,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """Data-parallel phase-2 (progressive distillation) step."""
+    from ..training.state import ema_update
+
+    loss_fn = trainer.make_progressive_loss(num_steps, vq_weight)
+    tx = trainer.tx
+
+    def local_step(state: TrainState, batch: Dict, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.teacher, state.vq_state, batch, rng
+        )
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.tree.map(
+            lambda x: jax.lax.pmean(x.astype(jnp.float32), axis), metrics
+        )
+        if new_vq_state:
+            new_vq_state = _pmean_floats(new_vq_state, axis)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        new_teacher = (
+            ema_update(state.teacher, new_params["decoder"], ema_decay)
+            if state.teacher is not None
+            else None
+        )
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                vq_state=new_vq_state,
+                opt_state=new_opt_state,
+                teacher=new_teacher,
+            ),
+            metrics,
+        )
+
+    sharded = shard_map(
+        local_step, mesh=mesh, in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def make_dp_consistency_step(
+    trainer: Trainer,
+    mesh: Mesh,
+    vq_weight: float = 0.05,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """Data-parallel phase-3 (consistency) step."""
+    loss_fn = trainer.make_consistency_loss(vq_weight)
+    tx = trainer.tx
+
+    def local_step(state: TrainState, batch: Dict, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.vq_state, batch, rng
+        )
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.tree.map(
+            lambda x: jax.lax.pmean(x.astype(jnp.float32), axis), metrics
+        )
+        if new_vq_state:
+            new_vq_state = _pmean_floats(new_vq_state, axis)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                vq_state=new_vq_state,
+                opt_state=new_opt_state,
+            ),
+            metrics,
+        )
+
+    sharded = shard_map(
+        local_step, mesh=mesh, in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
 def make_dp_generate(
     inference_build: Callable,
     mesh: Mesh,

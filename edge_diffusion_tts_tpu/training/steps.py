@@ -210,14 +210,12 @@ class Trainer:
 
     # -- phase 2: progressive distillation -----------------------------------
 
-    def make_progressive_step(
-        self, num_steps: int, vq_weight: float = 0.05, ema_decay: float = 0.999
+    def make_progressive_loss(
+        self, num_steps: int, vq_weight: float = 0.05
     ) -> Callable:
-        """Student x0 matches EMA-teacher x0 at the reduced step grid.
-
-        Reference: consistency.py:52-89 + train.py:240-249 (teacher EMA after
-        every optimizer step; vq loss weight 0.05; token-index conditioning).
-        """
+        """Phase-2 loss closure ``(params, teacher, vq_state, batch, rng) ->
+        (loss, (new_vq_state, metrics))`` — reused by the jitted step and the
+        data-parallel step."""
         cfg = self.cfg
         schedule = self.schedule
         stride = cfg.diff_steps // num_steps
@@ -269,6 +267,18 @@ class Trainer:
             }
             return loss, (new_vq_state, metrics)
 
+        return loss_fn
+
+    def make_progressive_step(
+        self, num_steps: int, vq_weight: float = 0.05, ema_decay: float = 0.999
+    ) -> Callable:
+        """Student x0 matches EMA-teacher x0 at the reduced step grid.
+
+        Reference: consistency.py:52-89 + train.py:240-249 (teacher EMA after
+        every optimizer step; vq loss weight 0.05; token-index conditioning).
+        """
+        loss_fn = self.make_progressive_loss(num_steps, vq_weight)
+
         @functools.partial(jax.jit, donate_argnums=0)
         def step(state: TrainState, batch, rng):
             grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
@@ -300,12 +310,9 @@ class Trainer:
 
     # -- phase 3: consistency ------------------------------------------------
 
-    def make_consistency_step(self, vq_weight: float = 0.05) -> Callable:
-        """Same-noise two-timestep consistency + 0.5 * reconstruction.
-
-        Reference: consistency.py:92-122 (x0(t1) matches sg(x0(t2)), both from
-        the student; plus mean of both reconstruction MSEs, halved).
-        """
+    def make_consistency_loss(self, vq_weight: float = 0.05) -> Callable:
+        """Phase-3 loss closure ``(params, vq_state, batch, rng) ->
+        (loss, (new_vq_state, metrics))``."""
         cfg = self.cfg
         schedule = self.schedule
 
@@ -350,6 +357,16 @@ class Trainer:
                 "x0_mse": _mse(jax.lax.stop_gradient(x0_1), mel_n),
             }
             return loss, (new_vq_state, metrics)
+
+        return loss_fn
+
+    def make_consistency_step(self, vq_weight: float = 0.05) -> Callable:
+        """Same-noise two-timestep consistency + 0.5 * reconstruction.
+
+        Reference: consistency.py:92-122 (x0(t1) matches sg(x0(t2)), both from
+        the student; plus mean of both reconstruction MSEs, halved).
+        """
+        loss_fn = self.make_consistency_loss(vq_weight)
 
         @functools.partial(jax.jit, donate_argnums=0)
         def step(state: TrainState, batch, rng):

@@ -208,6 +208,13 @@ def train(
     trainer = Trainer(cfg, encoder, decoder, schedule, tx)
     state = create_train_state(cfg, params, vq_state, tx)
 
+    if resume == "auto":
+        # Elastic restart: pick up the newest periodic checkpoint if one
+        # exists (crash = rerun with resume='auto'; improves on the
+        # reference's manual --resume that also loses optimizer state).
+        resume = cfg.ckpt_path if os.path.isdir(
+            os.path.join(cfg.ckpt_path, "state")
+        ) else None
     if resume:
         state, _, meta = restore_checkpoint(resume, state)
         print(f"Resumed from {resume} at step {int(state.step)}")
@@ -221,6 +228,13 @@ def train(
             hooks = [make_visualization_hook(cfg, trainer, first_val, run_dir)]
         except StopIteration:
             hooks = []
+
+    if cfg.ckpt_every_steps > 0:
+        def _periodic_ckpt(step: int, st: TrainState):
+            if step % cfg.ckpt_every_steps == 0:
+                save_checkpoint(cfg.ckpt_path, st, cfg, {"step": step})
+
+        hooks = (hooks or []) + [_periodic_ckpt]
 
     def _maybe_validate(state: TrainState, tag: str):
         nonlocal best_val_cos, rng

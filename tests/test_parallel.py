@@ -83,6 +83,33 @@ def test_dp_step_runs_and_replicates():
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_dp_progressive_and_consistency_steps():
+    n = 8
+    cfg, trainer, state = _setup(n)
+    mesh = make_mesh((n, 1))
+    batch = {
+        "wav": np.random.RandomState(2)
+        .randn(n, cfg.segment_len)
+        .astype(np.float32)
+        * 0.1
+    }
+    from edge_diffusion_tts_tpu.parallel import (
+        make_dp_consistency_step,
+        make_dp_progressive_step,
+    )
+
+    with mesh:
+        state = replicate(state.with_teacher(), mesh)
+        device_batch = shard_batch(batch, mesh)
+        pstep = make_dp_progressive_step(trainer, mesh, num_steps=4)
+        state, m1 = pstep(state, device_batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(m1["loss"]))
+        cstep = make_dp_consistency_step(trainer, mesh)
+        state, m2 = cstep(state, device_batch, jax.random.PRNGKey(4))
+        assert np.isfinite(float(m2["loss"]))
+    assert int(state.step) == 2
+
+
 def test_dp_loss_progress():
     n = 8
     cfg, trainer, state = _setup(n)

@@ -178,6 +178,35 @@ def test_grad_accumulation_multisteps():
     )
 
 
+def test_auto_resume(tmp_path):
+    """Crash-restart semantics: resume='auto' picks up checkpoint_latest and
+    continues from the recorded step (incl. optimizer state)."""
+    from edge_diffusion_tts_tpu.training import train
+
+    cfg = tiny_cfg(
+        diff_steps=8, max_timestep=7, out_dir=str(tmp_path),
+        ckpt_every_steps=1, val_batches=0, plot_every_steps=0,
+    )
+    loader = [
+        {"wav": np.zeros((cfg.batch_size, cfg.segment_len), np.float32)}
+        for _ in range(2)
+    ]
+    state1 = train(cfg, train_loader=loader, val_loader=None,
+                   hubert_cfg=HubertConfig.tiny(), phases=["diffusion"])
+    assert int(state1.step) == 2
+
+    cfg2 = tiny_cfg(
+        diff_steps=8, max_timestep=7, out_dir=str(tmp_path),
+        ckpt_every_steps=1, val_batches=0, plot_every_steps=0,
+        diffusion_epochs=2,
+    )
+    state2 = train(cfg2, train_loader=loader, val_loader=None,
+                   hubert_cfg=HubertConfig.tiny(), phases=["diffusion"],
+                   resume="auto")
+    # resumed at step 2 and ran 2 more epochs x 2 steps
+    assert int(state2.step) == 6
+
+
 def test_train_driver_smoke(tmp_path):
     """End-to-end 3-phase driver on synthetic data (1 epoch each, tiny)."""
     from edge_diffusion_tts_tpu.training import train
