@@ -157,14 +157,14 @@ def main():
 
     state, m = step(state, batch, jax.random.PRNGKey(6))
     jax.block_until_ready(m["loss"])
-    ts = []
-    for i in range(6):
-        t0 = time.perf_counter()
+    # Pipelined (async dispatch, sync once at the end) — how the real epoch
+    # loop runs; per-step sync would measure tunnel latency, not the device.
+    N = 32
+    t0 = time.perf_counter()
+    for i in range(N):
         state, m = step(state, batch, jax.random.PRNGKey(7 + i))
-        jax.block_until_ready(m["loss"])
-        ts.append((time.perf_counter() - t0) * 1e3)
-    ts.sort()
-    ms = ts[len(ts) // 2]
+    jax.block_until_ready(m["loss"])
+    ms = (time.perf_counter() - t0) * 1e3 / N
     emit(
         {"metric": "train_step_b32", "value": round(ms, 2), "unit": "ms",
          "vs_baseline": None,

@@ -141,7 +141,7 @@ class CFG:
     warmup_frac: float = 0.05  # cosine-LR linear warmup fraction
 
     # ===== TPU / PARALLELISM =====
-    compute_dtype: str = "bfloat16"  # activations/matmul dtype on TPU
+    compute_dtype: str = "float32"  # "bfloat16" runs module matmuls in bf16
     param_dtype: str = "float32"
     mesh_shape: Optional[List[int]] = None  # (data, model); None = all-data
     mesh_axis_names: List[str] = field(default_factory=lambda: ["data", "model"])

@@ -43,7 +43,11 @@ class EdgeInference:
         encoder_apply=None,
         encoder_params=None,
         prediction: str = "eps",
+        backend: str = "xla",
     ):
+        """``backend="fused"`` routes generate_mel through the Pallas
+        mega-kernel (ops/fused_denoise.py: whole loop in one launch,
+        weights VMEM-resident); "xla" uses the lax.scan program."""
         self.cfg = cfg
         self.schedule = schedule
         self.decoder_apply = decoder_apply
@@ -51,6 +55,7 @@ class EdgeInference:
         self.encoder_apply = encoder_apply
         self.encoder_params = encoder_params
         self.prediction = prediction
+        self.backend = backend
         self._gen_mel_jit = {}
 
     # -- jitted program builders --------------------------------------------------
@@ -60,6 +65,25 @@ class EdgeInference:
         schedule = self.schedule
         decoder_apply = self.decoder_apply
         prediction = self.prediction
+
+        if self.backend == "fused":
+            from .ops.fused_denoise import fused_generate_mel
+
+            @jax.jit
+            def run_fused(params, sem_idx, rng, temperature):
+                B, T_sem = sem_idx.shape
+                x_T = (
+                    jax.random.normal(
+                        rng, (B, T_sem * 2, self.cfg.n_mels), jnp.float32
+                    )
+                    * temperature
+                )
+                return fused_generate_mel(
+                    self.cfg, schedule, params, sem_idx, x_T, num_steps,
+                    prediction,
+                )
+
+            return run_fused
 
         @jax.jit
         def run(params, sem_idx, rng, temperature):

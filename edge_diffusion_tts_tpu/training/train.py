@@ -63,9 +63,12 @@ def init_models(
     ``hubert_params`` (from models.hubert.load_hubert_params_from_torch)
     replaces the randomly-initialized frozen HuBERT subtree when given.
     """
+    import jax.numpy as jnp
+
     hubert_cfg = hubert_cfg or HubertConfig()
-    encoder = SemanticEncoder(cfg, hubert_cfg)
-    decoder = EdgeDiffusionDecoder(cfg)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    encoder = SemanticEncoder(cfg, hubert_cfg, dtype=dtype)
+    decoder = EdgeDiffusionDecoder(cfg, dtype=dtype)
 
     k_enc, k_dec, k_drop, k_vq = jax.random.split(rng, 4)
     wav = jnp.zeros((1, min(cfg.segment_len, 4000)), jnp.float32)

@@ -67,6 +67,22 @@ def test_fused_v_prediction(setup):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle), atol=1e-4)
 
 
+def test_edge_inference_fused_backend_matches_xla(setup):
+    cfg, dec, params, schedule = setup
+    from edge_diffusion_tts_tpu.inference import EdgeInference
+
+    apply = lambda p, x, t, **kw: dec.apply({"params": p}, x, t, **kw)
+    sem_idx = jax.random.randint(jax.random.PRNGKey(9), (1, 12), 0, 2304)
+    rng = jax.random.PRNGKey(10)
+    a = EdgeInference(cfg, schedule, apply, params).generate_mel(
+        sem_idx, num_steps=4, rng=rng
+    )
+    b = EdgeInference(cfg, schedule, apply, params, backend="fused").generate_mel(
+        sem_idx, num_steps=4, rng=rng
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_fused_facade(setup):
     cfg, dec, params, schedule = setup
     inf = FusedEdgeInference(cfg, schedule, params)
