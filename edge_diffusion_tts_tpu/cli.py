@@ -37,6 +37,23 @@ def build_parser() -> argparse.ArgumentParser:
     pre.add_argument("root", type=str, help="LJSpeech root directory")
     pre.add_argument("--limit", type=int, default=None)
 
+    g = sub.add_parser("generate", help="few-step sample generation (demo)")
+    g.add_argument("checkpoint", type=str, help="edge_model_final directory")
+    g.add_argument("--wav", type=str, default=None, help="reference wav path")
+    g.add_argument("--steps", type=int, default=4)
+    g.add_argument("--out", type=str, default="generated.wav")
+    g.add_argument("--oracle", action="store_true",
+                   help="wav->mel->GriffinLim round trip (vocoder error only)")
+    g.add_argument("--post-filter", action="store_true")
+
+    lf = sub.add_parser("longform", help="chunked long-audio generation")
+    lf.add_argument("checkpoint", type=str)
+    lf.add_argument("wav", type=str, help="input waveform to re-synthesize")
+    lf.add_argument("--steps", type=int, default=50)
+    lf.add_argument("--strength", type=float, default=0.6)
+    lf.add_argument("--cfg-scale", type=float, default=2.0)
+    lf.add_argument("--out", type=str, default="longform.wav")
+
     return p
 
 
@@ -66,6 +83,54 @@ def main(argv=None):
         import runpy
 
         runpy.run_path("bench.py", run_name="__main__")
+
+    elif args.command == "generate":
+        from .demo import generate_sample
+
+        generate_sample(
+            args.checkpoint,
+            wav_path=args.wav,
+            num_steps=args.steps,
+            out_path=args.out,
+            oracle=args.oracle,
+            post_filter=args.post_filter,
+        )
+
+    elif args.command == "longform":
+        import jax
+        import numpy as np
+        from scipy.io import wavfile
+
+        from .data import load_wav, resample_np
+        from .models import EdgeDiffusionDecoder, HubertConfig, SemanticEncoder
+        from .pipeline import LongFormPipeline
+        from .schedule import DiffusionSchedule
+        from .training.checkpoint import restore_final_model
+
+        params, cfg = restore_final_model(args.checkpoint)
+        wav, sr = load_wav(args.wav)
+        if sr != cfg.sample_rate:
+            wav = resample_np(wav, sr, cfg.sample_rate)
+
+        encoder = SemanticEncoder(cfg, HubertConfig())
+        decoder = EdgeDiffusionDecoder(cfg)
+        pipe = LongFormPipeline(
+            cfg,
+            DiffusionSchedule.create(cfg.diff_steps),
+            lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
+            params["decoder"],
+            encoder_apply=lambda p, w: encoder.apply(
+                {"params": p}, w, train=False
+            )[0],
+            encoder_params=params["encoder"],
+        )
+        _, out = pipe.generate(
+            wav, steps=args.steps, strength=args.strength,
+            cfg_scale=args.cfg_scale,
+        )
+        wavfile.write(args.out, cfg.sample_rate,
+                      (np.clip(out, -1, 1) * 32767).astype(np.int16))
+        print(f"wrote {args.out}")
 
     elif args.command == "precompute":
         import jax

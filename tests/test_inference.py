@@ -81,3 +81,7 @@ def test_cli_parser():
     assert a.command == "bench"
     a = p.parse_args(["precompute", "/tmp/x", "--limit", "5"])
     assert a.root == "/tmp/x" and a.limit == 5
+    a = p.parse_args(["generate", "/ckpt", "--steps", "2", "--oracle"])
+    assert a.checkpoint == "/ckpt" and a.steps == 2 and a.oracle
+    a = p.parse_args(["longform", "/ckpt", "/in.wav", "--cfg-scale", "1.5"])
+    assert a.wav == "/in.wav" and a.cfg_scale == 1.5
