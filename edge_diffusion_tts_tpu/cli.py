@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
     lf.add_argument("--cfg-scale", type=float, default=2.0)
     lf.add_argument("--out", type=str, default="longform.wav")
 
+    mg = sub.add_parser(
+        "migrate", help="convert a PyTorch-reference .pt checkpoint"
+    )
+    mg.add_argument("pt_path", type=str, help="edge_model_final.pt / best_model.pt")
+    mg.add_argument("out_dir", type=str, help="output checkpoint directory")
+    mg.add_argument("--hubert-id", type=str, default=None,
+                    help="HF model id to fill the frozen HuBERT subtree")
+
     return p
 
 
@@ -131,6 +139,32 @@ def main(argv=None):
         wavfile.write(args.out, cfg.sample_rate,
                       (np.clip(out, -1, 1) * 32767).astype(np.int16))
         print(f"wrote {args.out}")
+
+    elif args.command == "migrate":
+        import torch
+
+        from .training.checkpoint import save_final_model
+        from .utils.torch_compat import convert_reference_checkpoint
+
+        ckpt = torch.load(args.pt_path, map_location="cpu", weights_only=False)
+        cfg = CFG.from_dict(ckpt["cfg"]) if ckpt.get("cfg") else CFG()
+        hubert_params = None
+        if args.hubert_id:
+            from transformers import HubertModel
+
+            from .models.hubert import HubertConfig as HC
+            from .models.hubert import load_hubert_params_from_torch
+
+            hm = HubertModel.from_pretrained(args.hubert_id)
+            hubert_params = load_hubert_params_from_torch(hm.state_dict(), HC())
+        params, vq_state, _ = convert_reference_checkpoint(
+            ckpt, num_layers=cfg.layers, hubert_params=hubert_params
+        )
+        save_final_model(args.out_dir, params, cfg)
+        if not hubert_params:
+            print("NOTE: no --hubert-id given; the frozen HuBERT subtree is "
+                  "absent — fill it before running inference.")
+        print(f"migrated {args.pt_path} -> {args.out_dir}")
 
     elif args.command == "precompute":
         import jax

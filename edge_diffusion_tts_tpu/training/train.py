@@ -96,6 +96,7 @@ def _run_epoch(
     log_every: int,
     hooks: Optional[List[Callable]] = None,
     prefix: str = "",
+    nan_guard: Optional[Callable] = None,
 ):
     """Drive one epoch of a jitted step over a loader; returns (state, last_metrics)."""
     metrics = {}
@@ -104,8 +105,11 @@ def _run_epoch(
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, device_batch, sub)
         step = int(state.step)
-        if writer is not None and step % log_every == 0:
-            writer.write(step, metrics, prefix=prefix)
+        if step % log_every == 0:
+            if writer is not None:
+                writer.write(step, metrics, prefix=prefix)
+            if nan_guard is not None and "loss" in metrics:
+                nan_guard(step, float(metrics["loss"]))
         for hook in hooks or []:
             hook(step, state)
     return state, metrics
@@ -222,7 +226,10 @@ def train(
         state, _, meta = restore_checkpoint(resume, state)
         print(f"Resumed from {resume} at step {int(state.step)}")
 
+    from ..utils.reliability import make_nan_guard
+
     validate = trainer.make_validate_fn(num_steps=cfg.inference_steps)
+    nan_guard = make_nan_guard(patience=3)
     best_val_cos = -float("inf")
 
     if hooks is None and val_loader is not None and cfg.plot_every_steps > 0:
@@ -275,6 +282,7 @@ def train(
             state, metrics = _run_epoch(
                 step_fn, state, train_loader, sub, writer,
                 cfg.log_every_steps, hooks, prefix="train/",
+                nan_guard=nan_guard,
             )
             print(
                 f"  epoch {epoch + 1}/{cfg.diffusion_epochs} "
@@ -299,6 +307,7 @@ def train(
                 state, metrics = _run_epoch(
                     step_fn, state, train_loader, sub, writer,
                     cfg.log_every_steps, hooks, prefix=f"prog{target_steps}/",
+                    nan_guard=nan_guard,
                 )
             print(
                 f"  target={target_steps} "
@@ -317,6 +326,7 @@ def train(
             state, metrics = _run_epoch(
                 step_fn, state, train_loader, sub, writer,
                 cfg.log_every_steps, hooks, prefix="consistency/",
+                nan_guard=nan_guard,
             )
             print(
                 f"  epoch {epoch + 1}/{cfg.consistency_epochs} "

@@ -111,6 +111,46 @@ def convert_fsq_encoder_state_dict(sd: Dict) -> Dict:
     )
 
 
+def convert_reference_checkpoint(
+    ckpt: Dict, num_layers: int = 4, hubert_params: Dict = None
+) -> tuple:
+    """A reference .pt checkpoint dict -> (params, vq_state, CFG-dict).
+
+    Accepts both layouts the reference saves:
+      v1 edge_model_final.pt: {encoder_proj, encoder_vq, decoder, cfg}
+         (reference: edge_diffusion_tts/train.py:291-297)
+      v2 best_model.pt: {encoder_proj, encoder_fsq, decoder, epoch, val_cos}
+         (reference: train_v2.py:335-341)
+
+    The returned ``params`` tree matches training.init_models' layout:
+    {"encoder": {proj..., vq..., hubert: <given or absent>}, "decoder": ...}.
+    Pass ``hubert_params`` (from models.hubert.load_hubert_params_from_torch
+    on the pretrained HubertModel) to complete the frozen subtree.
+    """
+    decoder = convert_decoder_state_dict(ckpt["decoder"], num_layers)["params"]
+
+    # Detect the proj layout from the keys: the Fast/v2 variant inserts
+    # Dropout at index 3, pushing the final Linear to index 4.
+    fast = any(k.startswith("4.") for k in ckpt["encoder_proj"])
+    if "encoder_fsq" in ckpt:  # v2 layout
+        enc = convert_encoder_proj_state_dict(ckpt["encoder_proj"], fast=fast)
+        enc["vq"] = convert_fsq_encoder_state_dict(ckpt["encoder_fsq"])
+        vq_state = {}
+    else:  # v1 layout: VQ or FSQ under "encoder_vq"
+        sd = ckpt["encoder_vq"]
+        enc = convert_encoder_proj_state_dict(ckpt["encoder_proj"], fast=fast)
+        if "proj_down.weight" in sd:  # FSQEncoder
+            enc["vq"] = convert_fsq_encoder_state_dict(sd)
+            vq_state = {}
+        else:
+            vq_state = {"encoder": {"vq": convert_vq_state_dict(sd)}}
+    if hubert_params is not None:
+        enc["hubert"] = hubert_params["params"]
+
+    params = {"encoder": enc, "decoder": decoder}
+    return params, vq_state, ckpt.get("cfg")
+
+
 def convert_vq_state_dict(sd: Dict) -> Dict:
     """Reference VectorQuantizer buffers -> flax vq_state collection."""
     return jax.tree.map(
