@@ -23,4 +23,48 @@ from .config import CFG, TrainPhase, get_device, set_seed
 
 __version__ = "0.1.0"
 
-__all__ = ["CFG", "TrainPhase", "get_device", "set_seed", "__version__"]
+
+def __getattr__(name):  # lazy top-level API (mirrors the reference exports)
+    if name in ("DiffusionSchedule", "DPMSolverPP", "ddim_sample", "ddpm_sample"):
+        from . import schedule
+
+        return getattr(schedule, name)
+    if name in ("SemanticEncoder", "EdgeDiffusionDecoder", "VectorQuantizer",
+                "FSQ", "FSQEncoder", "HubertEncoder"):
+        from . import models
+
+        return getattr(models, name)
+    if name == "EdgeInference":
+        from .inference import EdgeInference
+
+        return EdgeInference
+    if name == "LongFormPipeline":
+        from .pipeline import LongFormPipeline
+
+        return LongFormPipeline
+    if name in ("Trainer", "ConsistencyTrainer", "train", "train_v2"):
+        from . import training
+
+        if name == "ConsistencyTrainer":
+            # API-familiarity alias: the reference's ConsistencyTrainer role
+            # (EMA teacher + progressive/consistency losses) lives on Trainer.
+            return training.Trainer
+        return getattr(training, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "CFG",
+    "TrainPhase",
+    "get_device",
+    "set_seed",
+    "DiffusionSchedule",
+    "SemanticEncoder",
+    "EdgeDiffusionDecoder",
+    "VectorQuantizer",
+    "EdgeInference",
+    "ConsistencyTrainer",
+    "LongFormPipeline",
+    "Trainer",
+    "__version__",
+]

@@ -55,9 +55,14 @@ class EdgeDiffusionDecoder(nn.Module):
         t_cond = nn.Dense(H, dtype=self.dtype, name="time_fc2")(t_cond)
 
         if step_idx is not None:
+            # Clamp to the table: the reference's Embedding(16) hard-crashes
+            # when progressive distillation passes step indices up to
+            # num_steps-1 (consistency.py:55 with num_steps=500); in flax an
+            # out-of-bounds Embed gather fills NaN. Indices >= 16 share the
+            # last row — step conditioning only matters at small step counts.
             step_emb = nn.Embed(
                 MAX_STEP_EMB, H, dtype=self.dtype, name="step_emb"
-            )(step_idx)
+            )(jnp.clip(step_idx, 0, MAX_STEP_EMB - 1))
             t_cond = t_cond + step_emb
 
         # 2. Semantic context: continuous features (training / STE gradient

@@ -266,9 +266,12 @@ def fused_generate_mel(
     te = te @ p["time_fc1"]["kernel"] + p["time_fc1"]["bias"]
     te = jax.nn.gelu(te, approximate=False)
     te = te @ p["time_fc2"]["kernel"] + p["time_fc2"]["bias"]
-    te = te + jnp.take(
-        p["step_emb"]["embedding"], jnp.arange(num_steps, dtype=jnp.int32), axis=0
+    step_ids = jnp.clip(
+        jnp.arange(num_steps, dtype=jnp.int32),
+        0,
+        p["step_emb"]["embedding"].shape[0] - 1,
     )
+    te = te + jnp.take(p["step_emb"]["embedding"], step_ids, axis=0)
 
     mods, n2w, qh, ap, ab_b = [], [], [], [], []
     cqh, ck, cv, co = [], [], [], []

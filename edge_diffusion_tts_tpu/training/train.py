@@ -100,11 +100,14 @@ def _run_epoch(
 ):
     """Drive one epoch of a jitted step over a loader; returns (state, last_metrics)."""
     metrics = {}
+    # Track the step on host: reading int(state.step) every iteration would
+    # force a device sync per step and serialize the pipeline.
+    step = int(state.step)
     for batch in loader:
         rng, sub = jax.random.split(rng)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, device_batch, sub)
-        step = int(state.step)
+        step += 1
         if step % log_every == 0:
             if writer is not None:
                 writer.write(step, metrics, prefix=prefix)

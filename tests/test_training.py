@@ -114,6 +114,17 @@ def test_consistency_step(setup):
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_progressive_large_step_count_no_nan(setup):
+    """Regression: step indices beyond the 16-entry step_emb table must clamp
+    (the reference hard-crashes here; flax Embed OOB gathers fill NaN)."""
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state).with_teacher()
+    step = trainer.make_progressive_step(num_steps=25)  # > MAX_STEP_EMB
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(50 + i))
+        assert np.isfinite(float(metrics["loss"])), i
+
+
 def test_validate_fn(setup):
     cfg, trainer, state, batch = setup
     validate = trainer.make_validate_fn(num_steps=2)
