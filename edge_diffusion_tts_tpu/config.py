@@ -127,6 +127,9 @@ class CFG:
     diffusion_epochs: int = 50
     progressive_epochs_per_halving: int = 5
     progressive_target_steps: int = 4
+    # True = two-step-teacher distillation (Salimans & Ho); False = the
+    # reference's same-t EMA objective (see PARITY.md).
+    progressive_exact: bool = False
     consistency_epochs: int = 10
     consistency_weight: float = 1.0
 

@@ -33,6 +33,11 @@ def _mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.square(a - b))
 
 
+def _bcast_tbl(table: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-timestep scalars and broadcast to [B, 1, 1]."""
+    return jnp.take(table, t)[:, None, None]
+
+
 def _cosine_sim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Mean per-sample cosine similarity over flattened [B, -1]."""
     a = a.reshape(a.shape[0], -1)
@@ -269,15 +274,100 @@ class Trainer:
 
         return loss_fn
 
+    def make_pd_two_step_loss(
+        self, num_steps: int, vq_weight: float = 0.05
+    ) -> Callable:
+        """TRUE progressive distillation (Salimans & Ho 2022): the teacher
+        takes TWO DDIM steps t -> t_mid -> t_next; the student learns the x0
+        that reaches the teacher's endpoint in ONE step.
+
+        This fixes the reference's degenerate objective (consistency.py:60-89
+        compares student and teacher at the SAME t, which is exactly zero at
+        teacher re-init and is never driven apart by anything but weight
+        decay).  Enabled via cfg/train(progressive_exact=True); the default
+        keeps reference semantics for parity.
+        """
+        cfg = self.cfg
+        schedule = self.schedule
+        stride = cfg.diff_steps // num_steps
+        half = max(stride // 2, 1)
+
+        def loss_fn(params, teacher, vq_state, batch, rng):
+            k_enc, k_i, k_noise, k_dec = jax.random.split(rng, 4)
+            mel_n = self._mel_normalized(batch["wav"])
+            B = mel_n.shape[0]
+
+            (_, sem_idx, vq_loss, ppl, used), new_vq_state = self._encode(
+                params, vq_state, batch, k_enc, train=True
+            )
+
+            step_indices = jax.random.randint(k_i, (B,), 0, num_steps)
+            t = (step_indices + 1) * stride - 1
+            t_mid = jnp.maximum(t - half, 0)
+            t_next = jnp.maximum(t - stride, 0)
+            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            x_t, _ = schedule.q_sample(mel_n, t, noise)
+
+            def teacher_ddim(x, t_a, t_b):
+                v = self._decode(
+                    teacher, x, t_a, sem_idx=sem_idx, step_idx=step_indices
+                )
+                eps = schedule.predict_eps_from_v(x, t_a, v)
+                x_b, _ = schedule.get_ddim_step(x, t_a, t_b, eps, eta=0.0)
+                return x_b
+
+            x_mid = teacher_ddim(x_t, t, t_mid)
+            x_tgt = jax.lax.stop_gradient(teacher_ddim(x_mid, t_mid, t_next))
+
+            # Solve for the x0 whose single DDIM step t -> t_next lands on
+            # x_tgt:  x_tgt = sab_n x0 + s1m_n (x_t - sab_t x0) / s1m_t.
+            sab_t = _bcast_tbl(schedule.sqrt_alpha_bar, t)
+            s1m_t = _bcast_tbl(schedule.sqrt_one_minus_alpha_bar, t)
+            sab_n = _bcast_tbl(schedule.sqrt_alpha_bar, t_next)
+            s1m_n = _bcast_tbl(schedule.sqrt_one_minus_alpha_bar, t_next)
+            denom = sab_n - s1m_n * sab_t / s1m_t
+            x0_target = (x_tgt - (s1m_n / s1m_t) * x_t) / jnp.where(
+                jnp.abs(denom) < 1e-6, 1e-6, denom
+            )
+            x0_target = jnp.clip(x0_target, -3.0, 3.0)
+
+            v_student = self._decode(
+                params["decoder"], x_t, t, rng=k_dec, deterministic=False,
+                sem_idx=sem_idx, step_idx=step_indices,
+            )
+            x0_student = schedule.predict_x0_from_v(x_t, t, v_student)
+            loss = _mse(x0_student, x0_target) + vq_weight * vq_loss
+
+            metrics = {
+                "loss": loss,
+                "vq_loss": vq_loss,
+                "perplexity": ppl,
+                "used_codes": used,
+                "x0_mse": _mse(jax.lax.stop_gradient(x0_student), mel_n),
+            }
+            return loss, (new_vq_state, metrics)
+
+        return loss_fn
+
     def make_progressive_step(
-        self, num_steps: int, vq_weight: float = 0.05, ema_decay: float = 0.999
+        self,
+        num_steps: int,
+        vq_weight: float = 0.05,
+        ema_decay: float = 0.999,
+        exact: bool = False,
     ) -> Callable:
         """Student x0 matches EMA-teacher x0 at the reduced step grid.
 
         Reference: consistency.py:52-89 + train.py:240-249 (teacher EMA after
         every optimizer step; vq loss weight 0.05; token-index conditioning).
+        ``exact=True`` uses the two-step-teacher objective instead
+        (make_pd_two_step_loss).
         """
-        loss_fn = self.make_progressive_loss(num_steps, vq_weight)
+        loss_fn = (
+            self.make_pd_two_step_loss(num_steps, vq_weight)
+            if exact
+            else self.make_progressive_loss(num_steps, vq_weight)
+        )
 
         @functools.partial(jax.jit, donate_argnums=0)
         def step(state: TrainState, batch, rng):

@@ -304,7 +304,9 @@ def train(
         print(f"Phase 2: progressive distillation {cfg.diff_steps} -> {halvings}")
         for target_steps in halvings:
             state = state.with_teacher()  # re-init at each halving
-            step_fn = trainer.make_progressive_step(target_steps)
+            step_fn = trainer.make_progressive_step(
+                target_steps, exact=cfg.progressive_exact
+            )
             for epoch in range(cfg.progressive_epochs_per_halving):
                 rng, sub = jax.random.split(rng)
                 state, metrics = _run_epoch(

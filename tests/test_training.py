@@ -105,6 +105,21 @@ def test_progressive_step_with_teacher(setup):
     assert t_leaf.shape == s_leaf.shape
 
 
+def test_exact_progressive_distillation(setup):
+    """Two-step-teacher PD: loss is NONZERO at teacher re-init (unlike the
+    reference's same-t objective, which starts at exactly 0) and decreases."""
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state).with_teacher()
+    step = trainer.make_progressive_step(num_steps=4, exact=True)
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(70))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[0] > 1e-4, "exact PD must have signal at teacher init"
+    assert losses[-1] < losses[0]
+
+
 def test_consistency_step(setup):
     cfg, trainer, state, batch = setup
     state = jax.tree.map(jnp.copy, state)
