@@ -132,6 +132,9 @@ class CFG:
     progressive_exact: bool = False
     consistency_epochs: int = 10
     consistency_weight: float = 1.0
+    # True = adjacent-timestep EMA-teacher consistency (Song et al.);
+    # False = the reference's independent-two-t objective.
+    consistency_exact: bool = False
 
     # ===== TRAINING =====
     batch_size: int = 4

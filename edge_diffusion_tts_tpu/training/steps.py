@@ -20,6 +20,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import CFG
@@ -450,12 +451,110 @@ class Trainer:
 
         return loss_fn
 
-    def make_consistency_step(self, vq_weight: float = 0.05) -> Callable:
+    def make_consistency_exact_loss(
+        self, vq_weight: float = 0.05, grid_size: int = 40
+    ) -> Callable:
+        """Consistency training a la Song et al. 2023: ADJACENT timesteps on
+        a discretized grid, same noise, EMA-teacher target at the lower t.
+
+        The reference instead compares the student at two INDEPENDENT random
+        timesteps and anchors with reconstruction (consistency.py:92-122);
+        this variant is the published objective.  Takes (params, teacher,
+        vq_state, batch, rng) — teacher required (state.with_teacher()).
+        """
+        cfg = self.cfg
+        schedule = self.schedule
+        grid = np.linspace(1, cfg.diff_steps - 1, grid_size).astype(np.int64)
+        t_lo_tbl = jnp.asarray(grid[:-1], jnp.int32)
+        t_hi_tbl = jnp.asarray(grid[1:], jnp.int32)
+
+        def loss_fn(params, teacher, vq_state, batch, rng):
+            k_enc, k_n, k_noise, k_dec = jax.random.split(rng, 4)
+            mel_n = self._mel_normalized(batch["wav"])
+            B = mel_n.shape[0]
+
+            (_, sem_idx, vq_loss, ppl, used), new_vq_state = self._encode(
+                params, vq_state, batch, k_enc, train=True
+            )
+
+            n = jax.random.randint(k_n, (B,), 0, grid_size - 1)
+            t_lo = jnp.take(t_lo_tbl, n)
+            t_hi = jnp.take(t_hi_tbl, n)
+            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            x_hi, _ = schedule.q_sample(mel_n, t_hi, noise)
+            x_lo, _ = schedule.q_sample(mel_n, t_lo, noise)
+            step_idx = jnp.zeros((B,), jnp.int32)
+
+            v_s = self._decode(
+                params["decoder"], x_hi, t_hi, rng=k_dec, deterministic=False,
+                sem_idx=sem_idx, step_idx=step_idx,
+            )
+            x0_s = schedule.predict_x0_from_v(x_hi, t_hi, v_s)
+
+            v_t = self._decode(
+                teacher, x_lo, t_lo, sem_idx=sem_idx, step_idx=step_idx
+            )
+            x0_t = jax.lax.stop_gradient(
+                jnp.clip(schedule.predict_x0_from_v(x_lo, t_lo, v_t), -3.0, 3.0)
+            )
+
+            consistency = _mse(x0_s, x0_t)
+            loss = consistency + vq_weight * vq_loss
+            metrics = {
+                "loss": loss,
+                "consistency_loss": consistency,
+                "vq_loss": vq_loss,
+                "perplexity": ppl,
+                "used_codes": used,
+                "x0_mse": _mse(jax.lax.stop_gradient(x0_s), mel_n),
+            }
+            return loss, (new_vq_state, metrics)
+
+        return loss_fn
+
+    def make_consistency_step(
+        self,
+        vq_weight: float = 0.05,
+        exact: bool = False,
+        ema_decay: float = 0.999,
+    ) -> Callable:
         """Same-noise two-timestep consistency + 0.5 * reconstruction.
 
         Reference: consistency.py:92-122 (x0(t1) matches sg(x0(t2)), both from
         the student; plus mean of both reconstruction MSEs, halved).
+        ``exact=True`` uses adjacent-timestep EMA-teacher consistency
+        (make_consistency_exact_loss) with the teacher EMA-updated per step.
         """
+        if exact:
+            loss_fn = self.make_consistency_exact_loss(vq_weight)
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def exact_step(state: TrainState, batch, rng):
+                grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+                    state.params, state.teacher, state.vq_state, batch, rng
+                )
+                updates, new_opt_state = self.tx.update(
+                    grads, state.opt_state, state.params
+                )
+                new_params = jax.tree.map(
+                    lambda p, u: p + u.astype(p.dtype), state.params, updates
+                )
+                new_teacher = ema_update(
+                    state.teacher, new_params["decoder"], ema_decay
+                )
+                return (
+                    state.replace(
+                        step=state.step + 1,
+                        params=new_params,
+                        vq_state=new_vq_state,
+                        opt_state=new_opt_state,
+                        teacher=new_teacher,
+                    ),
+                    metrics,
+                )
+
+            return exact_step
+
         loss_fn = self.make_consistency_loss(vq_weight)
 
         @functools.partial(jax.jit, donate_argnums=0)

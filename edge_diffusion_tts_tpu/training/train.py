@@ -325,7 +325,9 @@ def train(
     # ---- Phase 3: consistency ----------------------------------------------
     if "consistency" in phases:
         print(f"Phase 3: consistency ({cfg.consistency_epochs} epochs)")
-        step_fn = trainer.make_consistency_step()
+        if cfg.consistency_exact and state.teacher is None:
+            state = state.with_teacher()
+        step_fn = trainer.make_consistency_step(exact=cfg.consistency_exact)
         for epoch in range(cfg.consistency_epochs):
             rng, sub = jax.random.split(rng)
             state, metrics = _run_epoch(

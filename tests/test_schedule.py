@@ -211,6 +211,47 @@ class TestReferenceParity:
         np.testing.assert_allclose(np.asarray(our_x), ref_x.numpy(), atol=1e-5)
         np.testing.assert_allclose(np.asarray(our_x0), ref_x0.numpy(), atol=1e-5)
 
+    def test_ddpm_step_matches(self, sched, ref_sched):
+        """Ancestral-step MEAN parity (noise is injected explicitly on our
+        side, so compare at matched noise)."""
+        import torch
+
+        rng = np.random.RandomState(5)
+        x_t = rng.randn(2, 8, 4).astype(np.float32)
+        eps = rng.randn(2, 8, 4).astype(np.float32)
+        t = np.array([600, 0])  # include t=0 (no-noise branch)
+
+        # Reference draws torch.randn internally; pin determinism by seeding
+        # and re-deriving the same normal draw both sides is impractical, so
+        # compare the deterministic component: at t=0 both add no noise, and
+        # at t>0 subtract the (known) injected noise term.
+        torch.manual_seed(0)
+        ref_out = ref_sched.ddpm_step(
+            torch.from_numpy(x_t), torch.from_numpy(t), torch.from_numpy(eps)
+        ).numpy()
+
+        alpha = np.asarray(sched.alphas)[t][:, None, None]
+        ab = np.asarray(sched.alpha_bar)[t][:, None, None]
+        beta = np.asarray(sched.betas)[t][:, None, None]
+        mean = (x_t - beta / np.sqrt(1 - ab) * eps) / np.sqrt(alpha)
+        # t=0 row must equal the mean exactly on both sides
+        np.testing.assert_allclose(ref_out[1], mean[1], atol=1e-5)
+
+        import jax
+
+        ours = sched.ddpm_step(
+            jnp.asarray(x_t), jnp.asarray(t, dtype=jnp.int32), jnp.asarray(eps),
+            jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(np.asarray(ours)[1], mean[1], atol=1e-5)
+        # t>0: both equal mean + sqrt(posterior_var) * (their own) noise —
+        # check the variance scale by normalizing the residual.
+        var = np.asarray(sched.posterior_variance)[t[0]]
+        res_ref = (ref_out[0] - mean[0]) / np.sqrt(var)
+        res_our = (np.asarray(ours)[0] - mean[0]) / np.sqrt(var)
+        assert 0.5 < res_ref.std() < 2.0
+        assert 0.5 < res_our.std() < 2.0
+
     def test_v_conversions_match(self, sched, ref_sched):
         import torch
 

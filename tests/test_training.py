@@ -140,6 +140,22 @@ def test_progressive_large_step_count_no_nan(setup):
         assert np.isfinite(float(metrics["loss"])), i
 
 
+def test_exact_consistency_step(setup):
+    """Adjacent-timestep EMA-teacher consistency: finite, has signal, and
+    the teacher EMA-updates each step."""
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state).with_teacher()
+    step = trainer.make_consistency_step(exact=True, ema_decay=0.9)
+    t0 = np.asarray(jax.tree.leaves(state.teacher)[0]).copy()
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(80 + i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    t1 = np.asarray(jax.tree.leaves(state.teacher)[0])
+    assert not np.array_equal(t0, t1), "teacher must EMA-update"
+
+
 def test_validate_fn(setup):
     cfg, trainer, state, batch = setup
     validate = trainer.make_validate_fn(num_steps=2)
