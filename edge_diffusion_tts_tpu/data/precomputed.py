@@ -19,7 +19,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import CFG, hubert_num_frames
-from .collate import crop_or_pad, resample_np
+from .collate import resample_np
 from .dataset import LJSpeechDataset
 
 HUBERT_HOP = 320

@@ -15,8 +15,7 @@ models trained with the v2 recipe (train_v2.py).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ the optimizer level by masking the ``hubert`` param subtree
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

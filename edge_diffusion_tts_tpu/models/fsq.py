@@ -10,7 +10,7 @@ FSQEncoder 135-222); default levels [4,4,3,3,2,2,2,2] -> 2304 codes.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -31,7 +31,7 @@ transformer.py:129-160) driven by EdgeInference.generate_mel's raw-DDIM loop
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

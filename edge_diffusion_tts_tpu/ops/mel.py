@@ -14,7 +14,6 @@ performance hotspot (the denoise loop is), so accuracy wins.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ explicit, then jitted with the state donated.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

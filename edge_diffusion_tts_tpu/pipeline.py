@@ -18,7 +18,6 @@ the decoder instead of two sequential forwards.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

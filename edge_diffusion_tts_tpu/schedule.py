@@ -15,8 +15,7 @@ keys.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import flax.struct
 import jax

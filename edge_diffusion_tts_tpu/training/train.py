@@ -23,13 +23,13 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import CFG, TrainPhase
+from ..config import CFG
 from ..models import (
     EdgeDiffusionDecoder,
     HubertConfig,

@@ -11,7 +11,6 @@ runtime (TPU, GPU, CPU, IREE) can load and run.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ MSE, saved to ``<run_dir>/samples/gen_step_<step>.png``.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
