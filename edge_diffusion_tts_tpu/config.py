@@ -72,7 +72,10 @@ class CFG:
 
     # ===== SYSTEM =====
     seed: int = 42
-    device: str = field(default_factory=get_device)
+    # "auto" resolves via get_device() on first use — constructing a CFG must
+    # NOT initialize a jax backend (it may run in a process that shouldn't
+    # touch the single-client TPU, e.g. config tooling).
+    device: str = "auto"
     out_dir: str = "run_edge_diffusion"
     run_name: str = field(default_factory=lambda: time.strftime("run_%Y%m%d_%H%M%S"))
 
@@ -217,6 +220,8 @@ class CFG:
         print("=" * 60)
         print("   EDGE-OPTIMIZED DIFFUSION TTS (TPU-native)")
         print("=" * 60)
+        if self.device == "auto":
+            self.device = get_device()
         print(f"Backend: {self.device}")
         print(f"Segment: {self.segment_len} samples "
               f"({self.segment_len / self.sample_rate:.2f}s)")
