@@ -270,6 +270,89 @@ class LongFormPipeline:
         wav_out = self.vocode(final_mel, rng, n_iter=griffin_lim_iters)
         return final_mel, np.asarray(wav_out)[: total]
 
+    def generate_streaming(
+        self,
+        wav: np.ndarray,
+        strength: float = 0.6,
+        steps: int = 50,
+        cfg_scale: float = 2.0,
+        rng=None,
+    ):
+        """Generator variant of ``generate``: yields (linear_mel_increment,
+        frame_offset) per chunk as soon as its crossfade region is final.
+
+        For live serving: each yielded increment is ``hop_frames`` wide
+        (the last chunk yields its full remainder), so audio can be vocoded
+        and played while later chunks are still being generated.  Numerics
+        match the offline path except the final weight renormalization is
+        applied per increment.
+        """
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        wav = np.asarray(wav, np.float32).reshape(1, -1)
+        total = wav.shape[1]
+        total_frames = total // cfg.hop_length + 1
+
+        z_q_global = self.encode_global(jnp.asarray(wav))
+        num_chunks = max(
+            1, int(np.ceil((total - self.overlap_samples) / self.hop_samples))
+        )
+        est_frames = total_frames + self.chunk_frames
+        acc = np.zeros((cfg.n_mels, est_frames), np.float32)
+        wsum = np.zeros((1, est_frames), np.float32)
+
+        fade = self.overlap_frames
+        window = np.ones((1, self.chunk_frames), np.float32)
+        window[0, :fade] = np.linspace(0, 1, fade)
+        window[0, -fade:] = np.linspace(1, 0, fade)
+        sem_per_chunk = self.chunk_samples // 320
+        prev_tail = None
+        emitted = 0
+
+        for i in range(num_chunks):
+            rng, k_noise, k_ref = jax.random.split(rng, 3)
+            s0 = i * self.hop_samples
+            chunk = wav[:, s0 : s0 + self.chunk_samples]
+            if chunk.shape[1] < self.chunk_samples:
+                chunk = np.pad(
+                    chunk, ((0, 0), (0, self.chunk_samples - chunk.shape[1]))
+                )
+            lat0 = s0 // 320
+            z_chunk = z_q_global[:, lat0 : lat0 + sem_per_chunk, :]
+            if z_chunk.shape[1] < sem_per_chunk:
+                z_chunk = jnp.pad(
+                    z_chunk,
+                    ((0, 0), (0, sem_per_chunk - z_chunk.shape[1]), (0, 0)),
+                )
+            x_coarse = jax.random.normal(
+                k_noise, (1, self.chunk_frames, cfg.n_mels)
+            )
+            x_ref = self.refine_chunk(
+                x_coarse, z_chunk, prev_tail,
+                strength=strength, steps=steps, cfg_scale=cfg_scale, rng=k_ref,
+            )
+            prev_tail = x_ref[:, -self.overlap_frames :, :]
+
+            chunk_mel_log = self.mel_frontend(jnp.asarray(chunk))
+            _, mean, std = normalize_mel(chunk_mel_log)
+            lin = np.asarray(jnp.exp(denormalize_mel(x_ref, mean, std)))[0].T
+
+            f0 = i * self.hop_frames
+            acc[:, f0 : f0 + self.chunk_frames] += lin * window
+            wsum[:, f0 : f0 + self.chunk_frames] += window
+
+            # Frames before the NEXT chunk's fade-in are final now.
+            final_upto = (
+                total_frames if i == num_chunks - 1 else f0 + self.hop_frames
+            )
+            final_upto = min(final_upto, total_frames)
+            if final_upto > emitted:
+                seg = acc[:, emitted:final_upto] / np.clip(
+                    wsum[:, emitted:final_upto], 1e-5, None
+                )
+                yield seg, emitted
+                emitted = final_upto
+
     def vocode(
         self, linear_mel: np.ndarray, rng, n_iter: int = 100
     ) -> np.ndarray:

@@ -62,6 +62,25 @@ def test_refine_chunk_keeps_known_overlap(tiny_pipeline):
     )
 
 
+def test_generate_streaming_matches_offline(tiny_pipeline):
+    """Streaming increments concatenate to exactly the offline mel."""
+    cfg, pipe = tiny_pipeline
+    secs = 1.2
+    wav = 0.2 * np.sin(
+        2 * np.pi * 300 * np.arange(int(secs * cfg.sample_rate)) / cfg.sample_rate
+    ).astype(np.float32)
+    kw = dict(steps=2, strength=0.3, cfg_scale=1.0)
+    offline, _ = pipe.generate(wav, vocode=False, rng=jax.random.PRNGKey(3), **kw)
+    chunks = list(pipe.generate_streaming(wav, rng=jax.random.PRNGKey(3), **kw))
+    assert len(chunks) >= 2
+    offsets = [off for _, off in chunks]
+    assert offsets[0] == 0 and all(
+        b > a for a, b in zip(offsets, offsets[1:])
+    )
+    streamed = np.concatenate([seg for seg, _ in chunks], axis=1)
+    np.testing.assert_allclose(streamed, offline, atol=1e-5)
+
+
 def test_generate_end_to_end(tiny_pipeline):
     cfg, pipe = tiny_pipeline
     secs = 1.2
