@@ -15,6 +15,13 @@ Grid layout: (batch*heads, num_q_tiles, num_k_tiles_per_band) with the last
 dimension innermost — TPU grids execute sequentially on a core, so scratch
 carries state across k tiles of one q tile; state resets at k-tile 0 and the
 normalized output is written at the last k tile.
+
+Measured guidance (v5e): at the flagship shapes (T=500, window=64, 4 heads
+of d=40) the XLA masked-SDPA path is FASTER (1.28 vs 1.91 ms per 4-step
+generation) — per-pallas_call overhead outweighs the 75% score-FLOP saving
+at this size, while outputs match bit-exactly. This kernel wins as T grows
+(score work is O(T*window) vs O(T^2)); keep ``use_pallas=False`` for short
+sequences.
 """
 
 from __future__ import annotations
