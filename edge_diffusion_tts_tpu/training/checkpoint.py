@@ -47,8 +47,23 @@ def restore_checkpoint(
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     if state_template is not None:
-        item = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
-        state = ckptr.restore(os.path.join(path, "state"), item=item)
+        def _restore_with(template):
+            item = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+            return ckptr.restore(os.path.join(path, "state"), item=item)
+
+        try:
+            state = _restore_with(state_template)
+        except ValueError as e:
+            # Teacher-arity mismatch: a checkpoint saved during a
+            # distillation phase carries the EMA teacher; a fresh template
+            # has teacher=None (and vice versa). Retry with matched arity.
+            if "teacher" not in str(e):
+                raise
+            if state_template.teacher is None:
+                alt = state_template.with_teacher()
+            else:
+                alt = state_template.replace(teacher=None)
+            state = _restore_with(alt)
     else:
         state = ckptr.restore(os.path.join(path, "state"))
     with open(os.path.join(path, _CFG_FILE)) as f:

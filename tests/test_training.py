@@ -193,6 +193,22 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_teacher_arity_mismatch(setup, tmp_path):
+    """Regression: a checkpoint saved WITH an EMA teacher (mid-distillation)
+    must restore into a fresh teacher-less template, and vice versa."""
+    cfg, trainer, state, batch = setup
+    with_t = jax.tree.map(jnp.copy, state).with_teacher()
+    path = os.path.join(str(tmp_path), "ckpt_t")
+    save_checkpoint(path, with_t, cfg, {})
+    restored, _, _ = restore_checkpoint(path, jax.tree.map(jnp.copy, state))
+    assert restored.teacher is not None
+
+    path2 = os.path.join(str(tmp_path), "ckpt_not")
+    save_checkpoint(path2, jax.tree.map(jnp.copy, state), cfg, {})
+    restored2, _, _ = restore_checkpoint(path2, with_t)
+    assert restored2.teacher is None
+
+
 def test_grad_accumulation_multisteps():
     cfg = tiny_cfg(grad_accumulation=2)
     rng = jax.random.PRNGKey(0)

@@ -1,0 +1,74 @@
+"""Utility coverage: MetricWriter JSONL, TimingContext, benchmark stats,
+memory stats, remat wrapper."""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from edge_diffusion_tts_tpu.utils import (
+    MetricWriter,
+    TimingContext,
+    benchmark,
+    memory_stats,
+)
+
+
+def test_metric_writer_jsonl(tmp_path):
+    w = MetricWriter(str(tmp_path), use_tensorboard=False)
+    w.write(1, {"loss": jnp.asarray(0.5), "n": 3}, prefix="train/")
+    w.write(2, {"loss": 0.25})
+    w.close()
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert recs[0]["step"] == 1 and abs(recs[0]["train/loss"] - 0.5) < 1e-6
+    assert recs[1]["loss"] == 0.25
+
+
+def test_metric_writer_skips_non_numeric(tmp_path):
+    w = MetricWriter(str(tmp_path), use_tensorboard=False)
+    w.write(1, {"ok": 1.0, "bad": "string", "arr": np.ones(3)})
+    w.close()
+    rec = json.loads(open(tmp_path / "metrics.jsonl").read())
+    assert "ok" in rec and "bad" not in rec
+
+
+def test_timing_context():
+    with TimingContext("t", verbose=False) as tc:
+        jnp.ones((8, 8)).sum()
+    assert tc.elapsed_ms > 0
+
+
+def test_benchmark_stats():
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((16, 16))
+    stats = benchmark(f, x, warmup=1, runs=3)
+    assert stats["runs"] == 3
+    assert stats["min_ms"] <= stats["median_ms"] <= stats["max_ms"]
+
+
+def test_memory_stats_shape():
+    stats = memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_remat_decoder_wraps():
+    import flax.linen as nn
+
+    from edge_diffusion_tts_tpu.config import CFG
+    from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
+    from edge_diffusion_tts_tpu.utils import remat_decoder
+
+    Remat = remat_decoder(EdgeDiffusionDecoder)
+    cfg = CFG(hidden=32, layers=1, heads=2, dropout=0.0)
+    dec = Remat(cfg)
+    x = jnp.zeros((1, 8, cfg.n_mels))
+    params = dec.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+        sem_idx=jnp.zeros((1, 4), jnp.int32),
+    )
+    y = dec.apply(params, x, jnp.zeros((1,), jnp.int32),
+                  sem_idx=jnp.zeros((1, 4), jnp.int32))
+    assert y.shape == (1, 8, cfg.n_mels)
