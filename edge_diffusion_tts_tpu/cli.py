@@ -30,6 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--phases", type=str, default="diffusion,progressive,consistency"
     )
     t.add_argument("--recipe", choices=["v1", "v2"], default="v1")
+    t.add_argument(
+        "--device", type=str, default=None,
+        help="force JAX platform (tpu/gpu/cpu); reference cli.py --device",
+    )
+    t.add_argument(
+        "--mesh", type=str, default=None,
+        help="data-parallel mesh shape, e.g. '8' or '8,1' (data, model); "
+             "overrides cfg.mesh_shape",
+    )
 
     b = sub.add_parser("bench", help="latency benchmark (see bench.py)")
 
@@ -54,6 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
     lf.add_argument("--cfg-scale", type=float, default=2.0)
     lf.add_argument("--out", type=str, default="longform.wav")
 
+    ex = sub.add_parser(
+        "export", help="export the decoder for edge deployment"
+    )
+    ex.add_argument("checkpoint", type=str, help="edge_model_final directory")
+    ex.add_argument("--format", choices=["stablehlo", "tflite"],
+                    default="stablehlo")
+    ex.add_argument("--out", type=str, default=None)
+    ex.add_argument("--t-frames", type=int, default=200,
+                    help="static mel length (tflite only)")
+    ex.add_argument("--s-tokens", type=int, default=100,
+                    help="static context length (tflite only)")
+
     mg = sub.add_parser(
         "migrate", help="convert a PyTorch-reference .pt checkpoint"
     )
@@ -70,6 +91,11 @@ def main(argv=None):
     from .config import CFG
 
     if args.command in (None, "train"):
+        if getattr(args, "device", None):
+            # Must run before the first backend touch (see config.get_device).
+            import jax
+
+            jax.config.update("jax_platforms", args.device)
         cfg = CFG()
         if getattr(args, "config", None):
             with open(args.config) as f:
@@ -78,6 +104,13 @@ def main(argv=None):
             cfg.batch_size = args.batch_size
         if getattr(args, "epochs", None):
             cfg.diffusion_epochs = args.epochs
+        if getattr(args, "device", None):
+            cfg.device = args.device
+        if getattr(args, "mesh", None):
+            shape = [int(s) for s in args.mesh.split(",")]
+            if len(shape) == 1:
+                shape.append(1)
+            cfg.mesh_shape = shape
 
         from .training import train, train_v2
 
@@ -139,6 +172,26 @@ def main(argv=None):
         wavfile.write(args.out, cfg.sample_rate,
                       (np.clip(out, -1, 1) * 32767).astype(np.int16))
         print(f"wrote {args.out}")
+
+    elif args.command == "export":
+        from .models import EdgeDiffusionDecoder
+        from .training.checkpoint import restore_final_model
+
+        params, cfg = restore_final_model(args.checkpoint)
+        decoder = EdgeDiffusionDecoder(cfg)
+        if args.format == "tflite":
+            from .utils.export import export_tflite
+
+            out = args.out or "edge_model.tflite"
+            export_tflite(
+                cfg, decoder, params["decoder"], out,
+                t_frames=args.t_frames, s_tokens=args.s_tokens,
+            )
+        else:
+            from .utils.export import export_for_edge
+
+            out = args.out or "edge_model.stablehlo"
+            export_for_edge(cfg, decoder, params["decoder"], out)
 
     elif args.command == "migrate":
         import torch

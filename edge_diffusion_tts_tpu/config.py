@@ -112,7 +112,12 @@ class CFG:
     heads: int = 4
     ffn_mult: int = 2
     use_depthwise: bool = True
-    use_flash_attn: bool = True  # on TPU: use the Pallas windowed-attention kernel
+    # Allow the Pallas banded-attention kernel for windowed self-attention.
+    # The kernel only engages when the mel sequence length reaches
+    # pallas_min_seq_len — below that the XLA masked-SDPA path is measured
+    # faster on v5e (see ops/window_attention.py docstring).
+    use_flash_attn: bool = True
+    pallas_min_seq_len: int = 1024
     use_adaln: bool = True
     dropout: float = 0.2
     attn_window_size: int = 64

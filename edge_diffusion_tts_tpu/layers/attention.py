@@ -67,6 +67,11 @@ class EfficientAttention(nn.Module):
     window_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # Sequence-length crossover for the Pallas kernel: below this length the
+    # XLA masked-SDPA path wins (kernel-launch overhead dominates the
+    # O(T*window) vs O(T^2) FLOP saving); 0 forces the kernel whenever
+    # use_pallas is set.  Measured on v5e — see ops/window_attention.py.
+    pallas_min_seq: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -78,7 +83,12 @@ class EfficientAttention(nn.Module):
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, H, T, d]
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        if self.use_pallas and self.window_size is not None and deterministic:
+        if (
+            self.use_pallas
+            and self.window_size is not None
+            and deterministic
+            and T >= self.pallas_min_seq
+        ):
             from ..ops.window_attention import banded_attention
 
             out = banded_attention(q, k, v, self.window_size)

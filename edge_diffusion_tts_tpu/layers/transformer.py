@@ -33,6 +33,7 @@ class DiffusionTransformerBlock(nn.Module):
     window_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    pallas_min_seq: int = 0
 
     @nn.compact
     def __call__(
@@ -57,6 +58,7 @@ class DiffusionTransformerBlock(nn.Module):
             window_size=self.window_size,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_min_seq=self.pallas_min_seq,
             name="attn",
         )(h, deterministic=deterministic)
 

@@ -33,7 +33,11 @@ class EdgeDiffusionDecoder(nn.Module):
 
     cfg: CFG
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    # None = resolve from the config: cfg.use_flash_attn enables the Pallas
+    # banded-attention kernel, engaged only once the mel sequence reaches
+    # cfg.pallas_min_seq_len (XLA SDPA is faster below the crossover).
+    # True/False force the route unconditionally (tests, benchmarks).
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -84,6 +88,12 @@ class EdgeDiffusionDecoder(nn.Module):
         h = SinusoidalPositionalEmb(H, max_len=1000, name="pos_emb")(h)
 
         # 4. Transformer backbone
+        if self.use_pallas is None:
+            use_pallas = cfg.use_flash_attn
+            pallas_min_seq = cfg.pallas_min_seq_len
+        else:
+            use_pallas = self.use_pallas
+            pallas_min_seq = 0
         for i in range(cfg.layers):
             h = DiffusionTransformerBlock(
                 dim=H,
@@ -95,7 +105,8 @@ class EdgeDiffusionDecoder(nn.Module):
                 use_adaln=cfg.use_adaln,
                 window_size=cfg.attn_window_size,
                 dtype=self.dtype,
-                use_pallas=self.use_pallas,
+                use_pallas=use_pallas,
+                pallas_min_seq=pallas_min_seq,
                 name=f"layers_{i}",
             )(h, context=context, cond=t_cond, deterministic=deterministic)
 

@@ -88,12 +88,21 @@ def make_dp_progressive_step(
     num_steps: int,
     vq_weight: float = 0.05,
     ema_decay: float = 0.999,
+    exact: bool = False,
     axis: str = DATA_AXIS,
 ) -> Callable:
-    """Data-parallel phase-2 (progressive distillation) step."""
+    """Data-parallel phase-2 (progressive distillation) step.
+
+    ``exact=True`` uses the two-step-teacher objective
+    (Trainer.make_pd_two_step_loss), mirroring the single-device step.
+    """
     from ..training.state import ema_update
 
-    loss_fn = trainer.make_progressive_loss(num_steps, vq_weight)
+    loss_fn = (
+        trainer.make_pd_two_step_loss(num_steps, vq_weight)
+        if exact
+        else trainer.make_progressive_loss(num_steps, vq_weight)
+    )
     tx = trainer.tx
 
     def local_step(state: TrainState, batch: Dict, rng):
@@ -138,17 +147,39 @@ def make_dp_consistency_step(
     trainer: Trainer,
     mesh: Mesh,
     vq_weight: float = 0.05,
+    exact: bool = False,
+    ema_decay: float = 0.999,
+    consistency_weight: float = 1.0,
     axis: str = DATA_AXIS,
 ) -> Callable:
-    """Data-parallel phase-3 (consistency) step."""
-    loss_fn = trainer.make_consistency_loss(vq_weight)
+    """Data-parallel phase-3 (consistency) step.
+
+    ``exact=True`` uses the adjacent-timestep EMA-teacher objective
+    (Trainer.make_consistency_exact_loss) with the teacher EMA-updated per
+    step, mirroring the single-device step.
+    """
+    from ..training.state import ema_update
+
     tx = trainer.tx
+    if exact:
+        loss_fn = trainer.make_consistency_exact_loss(
+            vq_weight, consistency_weight=consistency_weight
+        )
+    else:
+        loss_fn = trainer.make_consistency_loss(
+            vq_weight, consistency_weight=consistency_weight
+        )
 
     def local_step(state: TrainState, batch: Dict, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.vq_state, batch, rng
-        )
+        if exact:
+            grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.teacher, state.vq_state, batch, rng
+            )
+        else:
+            grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.vq_state, batch, rng
+            )
         grads = jax.lax.pmean(grads, axis)
         metrics = jax.tree.map(
             lambda x: jax.lax.pmean(x.astype(jnp.float32), axis), metrics
@@ -159,12 +190,18 @@ def make_dp_consistency_step(
         new_params = jax.tree.map(
             lambda p, u: p + u.astype(p.dtype), state.params, updates
         )
+        new_teacher = (
+            ema_update(state.teacher, new_params["decoder"], ema_decay)
+            if exact and state.teacher is not None
+            else state.teacher
+        )
         return (
             state.replace(
                 step=state.step + 1,
                 params=new_params,
                 vq_state=new_vq_state,
                 opt_state=new_opt_state,
+                teacher=new_teacher,
             ),
             metrics,
         )

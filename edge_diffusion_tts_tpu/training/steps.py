@@ -401,9 +401,13 @@ class Trainer:
 
     # -- phase 3: consistency ------------------------------------------------
 
-    def make_consistency_loss(self, vq_weight: float = 0.05) -> Callable:
+    def make_consistency_loss(
+        self, vq_weight: float = 0.05, consistency_weight: float = 1.0
+    ) -> Callable:
         """Phase-3 loss closure ``(params, vq_state, batch, rng) ->
-        (loss, (new_vq_state, metrics))``."""
+        (loss, (new_vq_state, metrics))``.  ``consistency_weight`` scales the
+        consistency term relative to the reconstruction anchor
+        (cfg.consistency_weight; the reference uses an implicit 1.0)."""
         cfg = self.cfg
         schedule = self.schedule
 
@@ -436,7 +440,7 @@ class Trainer:
 
             consistency = _mse(x0_1, jax.lax.stop_gradient(x0_2))
             recon = 0.5 * (_mse(x0_1, mel_n) + _mse(x0_2, mel_n))
-            loss = consistency + recon + vq_weight * vq_loss
+            loss = consistency_weight * consistency + recon + vq_weight * vq_loss
 
             metrics = {
                 "loss": loss,
@@ -452,7 +456,10 @@ class Trainer:
         return loss_fn
 
     def make_consistency_exact_loss(
-        self, vq_weight: float = 0.05, grid_size: int = 40
+        self,
+        vq_weight: float = 0.05,
+        grid_size: int = 40,
+        consistency_weight: float = 1.0,
     ) -> Callable:
         """Consistency training a la Song et al. 2023: ADJACENT timesteps on
         a discretized grid, same noise, EMA-teacher target at the lower t.
@@ -499,7 +506,7 @@ class Trainer:
             )
 
             consistency = _mse(x0_s, x0_t)
-            loss = consistency + vq_weight * vq_loss
+            loss = consistency_weight * consistency + vq_weight * vq_loss
             metrics = {
                 "loss": loss,
                 "consistency_loss": consistency,
@@ -517,6 +524,7 @@ class Trainer:
         vq_weight: float = 0.05,
         exact: bool = False,
         ema_decay: float = 0.999,
+        consistency_weight: float = 1.0,
     ) -> Callable:
         """Same-noise two-timestep consistency + 0.5 * reconstruction.
 
@@ -526,7 +534,9 @@ class Trainer:
         (make_consistency_exact_loss) with the teacher EMA-updated per step.
         """
         if exact:
-            loss_fn = self.make_consistency_exact_loss(vq_weight)
+            loss_fn = self.make_consistency_exact_loss(
+                vq_weight, consistency_weight=consistency_weight
+            )
 
             @functools.partial(jax.jit, donate_argnums=0)
             def exact_step(state: TrainState, batch, rng):
@@ -555,7 +565,9 @@ class Trainer:
 
             return exact_step
 
-        loss_fn = self.make_consistency_loss(vq_weight)
+        loss_fn = self.make_consistency_loss(
+            vq_weight, consistency_weight=consistency_weight
+        )
 
         @functools.partial(jax.jit, donate_argnums=0)
         def step(state: TrainState, batch, rng):

@@ -97,15 +97,18 @@ def _run_epoch(
     hooks: Optional[List[Callable]] = None,
     prefix: str = "",
     nan_guard: Optional[Callable] = None,
+    put_batch: Optional[Callable] = None,
 ):
     """Drive one epoch of a jitted step over a loader; returns (state, last_metrics)."""
     metrics = {}
+    if put_batch is None:
+        put_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
     # Track the step on host: reading int(state.step) every iteration would
     # force a device sync per step and serialize the pipeline.
     step = int(state.step)
     for batch in loader:
         rng, sub = jax.random.split(rng)
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        device_batch = put_batch(batch)
         state, metrics = step_fn(state, device_batch, sub)
         step += 1
         if step % log_every == 0:
@@ -218,6 +221,65 @@ def train(
     trainer = Trainer(cfg, encoder, decoder, schedule, tx)
     state = create_train_state(cfg, params, vq_state, tx)
 
+    # -- optional data-parallel mesh (cfg.mesh_shape) ------------------------
+    # When a mesh is configured with >1 devices, every phase step runs as a
+    # shard_map data-parallel program: batches shard over the "data" axis,
+    # state replicates, gradients/metrics/VQ-statistics pmean over ICI.
+    mesh = None
+    if cfg.mesh_shape:
+        n_mesh = int(np.prod(cfg.mesh_shape))
+        if n_mesh > 1:
+            if len(jax.devices()) < n_mesh:
+                raise ValueError(
+                    f"cfg.mesh_shape={cfg.mesh_shape} needs {n_mesh} devices, "
+                    f"have {len(jax.devices())}"
+                )
+            if cfg.batch_size % cfg.mesh_shape[0]:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must divide over the data "
+                    f"axis ({cfg.mesh_shape[0]} shards)"
+                )
+            from ..parallel import make_mesh, replicate, shard_batch
+            from ..parallel.data_parallel import (
+                make_dp_consistency_step,
+                make_dp_diffusion_step,
+                make_dp_progressive_step,
+            )
+
+            mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axis_names))
+            print(f"Data-parallel mesh: {dict(mesh.shape)}")
+
+    put_batch = None
+    if mesh is not None:
+        put_batch = lambda b: shard_batch(
+            {k: jnp.asarray(v) for k, v in b.items()}, mesh
+        )
+
+    def build_diffusion_step():
+        if mesh is not None:
+            return make_dp_diffusion_step(trainer, mesh)
+        return trainer.make_diffusion_step()
+
+    def build_progressive_step(target_steps: int):
+        if mesh is not None:
+            return make_dp_progressive_step(
+                trainer, mesh, target_steps, exact=cfg.progressive_exact
+            )
+        return trainer.make_progressive_step(
+            target_steps, exact=cfg.progressive_exact
+        )
+
+    def build_consistency_step():
+        if mesh is not None:
+            return make_dp_consistency_step(
+                trainer, mesh, exact=cfg.consistency_exact,
+                consistency_weight=cfg.consistency_weight,
+            )
+        return trainer.make_consistency_step(
+            exact=cfg.consistency_exact,
+            consistency_weight=cfg.consistency_weight,
+        )
+
     if resume == "auto":
         # Elastic restart: pick up the newest periodic checkpoint if one
         # exists (crash = rerun with resume='auto'; improves on the
@@ -228,6 +290,9 @@ def train(
     if resume:
         state, _, meta = restore_checkpoint(resume, state)
         print(f"Resumed from {resume} at step {int(state.step)}")
+
+    if mesh is not None:
+        state = replicate(state, mesh)
 
     from ..utils.reliability import make_nan_guard
 
@@ -248,6 +313,41 @@ def train(
                 save_checkpoint(cfg.ckpt_path, st, cfg, {"step": step})
 
         hooks = (hooks or []) + [_periodic_ckpt]
+
+    # Mid-epoch eval cadence: every val_every_steps, epsilon-MSE on up to
+    # val_batches validation batches; best checkpoint on that eval loss
+    # (reference: train.py:190-199 -> best_diffusion.pt via
+    # utils/visualization.py:18-44).
+    if cfg.val_every_steps > 0 and val_loader is not None:
+        eval_eps = trainer.make_eval_eps_fn()
+        eval_batches = []
+        for i, b in enumerate(val_loader):
+            if i >= max(cfg.val_batches, 1):
+                break
+            eval_batches.append({k: jnp.asarray(v) for k, v in b.items()})
+        best_eval = [float("inf")]
+
+        def _mid_epoch_eval(step: int, st: TrainState):
+            if step % cfg.val_every_steps or not eval_batches:
+                return
+            vals = [
+                float(
+                    eval_eps(
+                        st.params, st.vq_state, b, jax.random.PRNGKey(step + i)
+                    )["val_eps_mse"]
+                )
+                for i, b in enumerate(eval_batches)
+            ]
+            mean = float(np.mean(vals))
+            writer.write(step, {"val_eps_mse": mean}, prefix="eval/")
+            if mean < best_eval[0]:
+                best_eval[0] = mean
+                save_checkpoint(
+                    os.path.join(run_dir, "best_diffusion"), st, cfg,
+                    {"val_eps_mse": mean, "step": step},
+                )
+
+        hooks = (hooks or []) + [_mid_epoch_eval]
 
     def _maybe_validate(state: TrainState, tag: str):
         nonlocal best_val_cos, rng
@@ -270,22 +370,24 @@ def train(
         writer.write(int(state.step), agg, prefix=f"{tag}/")
         if agg.get("val_cos", -1e9) > best_val_cos:
             best_val_cos = agg["val_cos"]
+            # v2 semantics: best_model.pt on val_cos (train_v2.py:331-341);
+            # the mid-epoch eval hook owns best_diffusion (v1 semantics).
             save_checkpoint(
-                os.path.join(run_dir, "best_diffusion"), state, cfg,
+                os.path.join(run_dir, "best_model"), state, cfg,
                 {"val_cos": best_val_cos, "phase": tag},
             )
 
     # ---- Phase 1: diffusion ------------------------------------------------
     if "diffusion" in phases:
         print(f"Phase 1: diffusion ({cfg.diffusion_epochs} epochs)")
-        step_fn = trainer.make_diffusion_step()
+        step_fn = build_diffusion_step()
         for epoch in range(cfg.diffusion_epochs):
             rng, sub = jax.random.split(rng)
             t0 = time.time()
             state, metrics = _run_epoch(
                 step_fn, state, train_loader, sub, writer,
                 cfg.log_every_steps, hooks, prefix="train/",
-                nan_guard=nan_guard,
+                nan_guard=nan_guard, put_batch=put_batch,
             )
             print(
                 f"  epoch {epoch + 1}/{cfg.diffusion_epochs} "
@@ -304,15 +406,13 @@ def train(
         print(f"Phase 2: progressive distillation {cfg.diff_steps} -> {halvings}")
         for target_steps in halvings:
             state = state.with_teacher()  # re-init at each halving
-            step_fn = trainer.make_progressive_step(
-                target_steps, exact=cfg.progressive_exact
-            )
+            step_fn = build_progressive_step(target_steps)
             for epoch in range(cfg.progressive_epochs_per_halving):
                 rng, sub = jax.random.split(rng)
                 state, metrics = _run_epoch(
                     step_fn, state, train_loader, sub, writer,
                     cfg.log_every_steps, hooks, prefix=f"prog{target_steps}/",
-                    nan_guard=nan_guard,
+                    nan_guard=nan_guard, put_batch=put_batch,
                 )
             print(
                 f"  target={target_steps} "
@@ -327,13 +427,13 @@ def train(
         print(f"Phase 3: consistency ({cfg.consistency_epochs} epochs)")
         if cfg.consistency_exact and state.teacher is None:
             state = state.with_teacher()
-        step_fn = trainer.make_consistency_step(exact=cfg.consistency_exact)
+        step_fn = build_consistency_step()
         for epoch in range(cfg.consistency_epochs):
             rng, sub = jax.random.split(rng)
             state, metrics = _run_epoch(
                 step_fn, state, train_loader, sub, writer,
                 cfg.log_every_steps, hooks, prefix="consistency/",
-                nan_guard=nan_guard,
+                nan_guard=nan_guard, put_batch=put_batch,
             )
             print(
                 f"  epoch {epoch + 1}/{cfg.consistency_epochs} "

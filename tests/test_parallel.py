@@ -146,6 +146,99 @@ def test_dp_generate_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_train_driver_on_mesh(tmp_path):
+    """cfg.mesh_shape wiring: the full 3-phase train() driver runs its steps
+    as shard_map data-parallel programs on the 8-device mesh, and the loss
+    trajectory lands in the same regime as the single-device run."""
+    import json
+    import os
+
+    from edge_diffusion_tts_tpu.training import train
+
+    def run(mesh_shape, out_dir):
+        cfg = CFG(
+            hidden=32, layers=1, heads=2, segment_secs=0.1, batch_size=8,
+            grad_accumulation=1, diff_steps=8, max_timestep=7,
+            diffusion_epochs=2, progressive_epochs_per_halving=1,
+            progressive_target_steps=4, consistency_epochs=1,
+            dropout=0.0, mesh_shape=mesh_shape, out_dir=out_dir,
+            val_batches=0, plot_every_steps=0, val_every_steps=0,
+            ckpt_every_steps=0, log_every_steps=1,
+        )
+        wavs = (
+            np.random.RandomState(7)
+            .randn(2, cfg.batch_size, cfg.segment_len)
+            .astype(np.float32)
+            * 0.1
+        )
+        loader = [{"wav": w} for w in wavs]
+        from edge_diffusion_tts_tpu.models.hubert import HubertConfig
+
+        state = train(cfg, train_loader=loader, val_loader=None,
+                      hubert_cfg=HubertConfig.tiny(),
+                      phases=["diffusion", "progressive", "consistency"])
+        with open(os.path.join(cfg.get_run_dir(), "metrics.jsonl")) as f:
+            losses = [
+                json.loads(l)["train/loss"]
+                for l in f
+                if "train/loss" in l
+            ]
+        return state, losses
+
+    state_dp, losses_dp = run([8, 1], str(tmp_path / "dp"))
+    state_sd, losses_sd = run(None, str(tmp_path / "sd"))
+
+    # 2+1+1 epochs x 2 steps
+    assert int(state_dp.step) == int(state_sd.step) == 8
+    assert np.isfinite(losses_dp).all() and len(losses_dp) == len(losses_sd)
+    # Params identical on every shard after the full run.
+    leaf = jax.tree.leaves(state_dp.params["decoder"])[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # Same loss regime (different per-shard RNG streams -> not bitwise equal).
+    assert abs(losses_dp[-1] - losses_sd[-1]) < 0.5 * max(losses_sd[-1], 0.1)
+
+
+def test_dp_exact_steps():
+    """exact variants of the DP phase-2/3 steps run and EMA-update teacher."""
+    n = 8
+    cfg, trainer, state = _setup(n)
+    mesh = make_mesh((n, 1))
+    batch = {
+        "wav": np.random.RandomState(5)
+        .randn(n, cfg.segment_len)
+        .astype(np.float32)
+        * 0.1
+    }
+    from edge_diffusion_tts_tpu.parallel import (
+        make_dp_consistency_step,
+        make_dp_progressive_step,
+    )
+
+    with mesh:
+        state = replicate(state.with_teacher(), mesh)
+        device_batch = shard_batch(batch, mesh)
+        pstep = make_dp_progressive_step(trainer, mesh, num_steps=4, exact=True)
+        state, m1 = pstep(state, device_batch, jax.random.PRNGKey(6))
+        assert np.isfinite(float(m1["loss"]))
+        assert float(m1["loss"]) > 1e-5  # two-step-teacher PD has signal
+        t0 = [np.asarray(x).copy() for x in jax.tree.leaves(state.teacher)]
+        cstep = make_dp_consistency_step(
+            trainer, mesh, exact=True, ema_decay=0.9
+        )
+        # Several steps: the warmup LR is 0 at the very first optimizer step,
+        # so one step may leave student (hence teacher EMA) unchanged.
+        for i in range(4):
+            state, m2 = cstep(state, device_batch, jax.random.PRNGKey(7 + i))
+            assert np.isfinite(float(m2["loss"]))
+        t1 = jax.tree.leaves(state.teacher)
+    moved = sum(
+        float(np.abs(a - np.asarray(b)).sum()) for a, b in zip(t0, t1)
+    )
+    assert moved > 0, "exact consistency must EMA the teacher"
+
+
 def test_dp_loss_progress():
     n = 8
     cfg, trainer, state = _setup(n)
