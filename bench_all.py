@@ -6,6 +6,9 @@
   4. batched 32-utterance encode (HuBERT+FSQ) + 4-step decode
   5. training step throughput (diffusion phase, batch 32)
 
+Plus two headline variants (pass --variants): bf16 module compute and the
+fused-Pallas single-launch backend (ops/fused_denoise.py).
+
 Prints one JSON line per config.  Device time is measured amortized (chained
 dependent iterations inside one program) where dispatch overhead would
 otherwise dominate — see bench.py's docstring for why.
@@ -171,6 +174,64 @@ def main():
          "utt_per_sec": round(32 / (ms / 1e3), 1)}
     )
 
+    if "--variants" not in sys.argv:
+        return
+
+    # 6. headline in bf16 module compute (params f32, matmuls bf16)
+    cfg16 = CFG(compute_dtype="bfloat16")
+    dec16 = EdgeDiffusionDecoder(cfg16, dtype=jnp.bfloat16)
+
+    def decode_chain_with(dec, num_steps, B=1, reps=10):
+        sem_idx = jnp.zeros((B, S), jnp.int32)
+
+        @jax.jit
+        def run(rng, params):
+            def body(key, _):
+                k_next, k_noise = jax.random.split(key)
+                x_T = jax.random.normal(k_noise, (B, S * 2, cfg.n_mels))
+
+                def model_fn(x, t, si):
+                    return dec.apply(
+                        {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
+                    )
+
+                x0 = ddim_sample(schedule, model_fn, x_T, num_steps)
+                return k_next, x0[0, 0, 0]
+
+            _, outs = jax.lax.scan(body, rng, None, length=reps)
+            return outs.sum()
+
+        return run
+
+    ms = _amortized_ms(decode_chain_with(dec16, 4), 10, 6, params)
+    emit(
+        {"metric": "4step_ddim_5s_bf16", "value": round(ms, 3), "unit": "ms",
+         "vs_baseline": round(50.0 / ms, 2)}
+    )
+
+    # 7. headline through the fused-Pallas single-launch backend
+    from edge_diffusion_tts_tpu.ops.fused_denoise import fused_generate_mel
+
+    sem_idx = jnp.zeros((1, S), jnp.int32)
+
+    @jax.jit
+    def fused_chain(rng, params):
+        def body(key, _):
+            k_next, k_noise = jax.random.split(key)
+            x_T = jax.random.normal(k_noise, (1, S * 2, cfg.n_mels))
+            x0 = fused_generate_mel(
+                cfg, schedule, params, sem_idx, x_T, 4, "eps"
+            )
+            return k_next, x0[0, 0, 0]
+
+        _, outs = jax.lax.scan(body, rng, None, length=10)
+        return outs.sum()
+
+    ms = _amortized_ms(fused_chain, 10, 4, params)
+    emit(
+        {"metric": "4step_ddim_5s_fused_pallas", "value": round(ms, 3),
+         "unit": "ms", "vs_baseline": round(50.0 / ms, 2)}
+    )
 
 
 if __name__ == "__main__":

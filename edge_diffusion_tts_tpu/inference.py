@@ -56,6 +56,7 @@ class EdgeInference:
         self.prediction = prediction
         self.backend = backend
         self._gen_mel_jit = {}
+        self._encode_jit = None
 
     # -- jitted program builders --------------------------------------------------
 
@@ -136,10 +137,15 @@ class EdgeInference:
         """Reference wav [T] or [B, T] -> generated normalized log-mel.
 
         Reference: inference.py:56-62 (encode to tokens, then generate_mel).
+        The HuBERT+quantizer encode runs as a cached jitted program (one
+        compile per wav shape) — for the batched 32-utterance config the
+        95M-param HuBERT forward dominates, so it must not re-trace per call.
         """
         if self.encoder_apply is None:
             raise ValueError("EdgeInference was constructed without an encoder")
         if wav.ndim == 1:
             wav = wav[None, :]
-        sem_idx = self.encoder_apply(self.encoder_params, wav)
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(self.encoder_apply)
+        sem_idx = self._encode_jit(self.encoder_params, wav)
         return self.generate_mel(sem_idx, num_steps, rng=rng)

@@ -196,79 +196,31 @@ class LongFormPipeline:
 
         Follows the reference main loop (inference_pipeline.py:296-403):
         per-chunk ground-truth mel stats for denormalization, triangular
-        crossfade, average-pool smoothing, Griffin-Lim.
+        crossfade, average-pool smoothing, Griffin-Lim.  Implemented by
+        draining ``generate_streaming`` — one chunk loop for both modes;
+        the offline-vs-streaming equality is guarded by
+        tests/test_pipeline.py::test_generate_streaming_matches_offline.
         """
-        cfg = self.cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         wav = np.asarray(wav, np.float32).reshape(1, -1)
         total = wav.shape[1]
 
-        full_mel_log = self.mel_frontend(jnp.asarray(wav))
-        total_frames = full_mel_log.shape[1]
-
-        z_q_global = self.encode_global(jnp.asarray(wav))
-
-        num_chunks = max(
-            1, int(np.ceil((total - self.overlap_samples) / self.hop_samples))
-        )
-        est_frames = total_frames + self.chunk_frames
-        final_mel = np.zeros((cfg.n_mels, est_frames), np.float32)
-        final_w = np.zeros((1, est_frames), np.float32)
-
-        fade = self.overlap_frames
-        window = np.ones((1, self.chunk_frames), np.float32)
-        window[0, :fade] = np.linspace(0, 1, fade)
-        window[0, -fade:] = np.linspace(1, 0, fade)
-
-        # Token span per chunk is constant; slice the global feature sequence.
-        sem_per_chunk = self.chunk_samples // 320
-        prev_tail = None
-
-        for i in range(num_chunks):
-            rng, k_noise, k_ref = jax.random.split(rng, 3)
-            s0 = i * self.hop_samples
-            chunk = wav[:, s0 : s0 + self.chunk_samples]
-            if chunk.shape[1] < self.chunk_samples:
-                chunk = np.pad(
-                    chunk, ((0, 0), (0, self.chunk_samples - chunk.shape[1]))
-                )
-
-            lat0 = s0 // 320
-            z_chunk = z_q_global[:, lat0 : lat0 + sem_per_chunk, :]
-            if z_chunk.shape[1] < sem_per_chunk:
-                z_chunk = jnp.pad(
-                    z_chunk,
-                    ((0, 0), (0, sem_per_chunk - z_chunk.shape[1]), (0, 0)),
-                )
-
-            x_coarse = jax.random.normal(
-                k_noise, (1, self.chunk_frames, cfg.n_mels)
+        segments = [
+            seg
+            for seg, _ in self.generate_streaming(
+                wav, strength=strength, steps=steps, cfg_scale=cfg_scale,
+                rng=rng,
             )
-            x_ref = self.refine_chunk(
-                x_coarse, z_chunk, prev_tail,
-                strength=strength, steps=steps, cfg_scale=cfg_scale, rng=k_ref,
-            )
-            prev_tail = x_ref[:, -self.overlap_frames :, :]
-
-            # Denormalize with this chunk's ground-truth mel stats
-            # (reference: inference_pipeline.py:354-356).
-            chunk_mel_log = self.mel_frontend(jnp.asarray(chunk))
-            _, mean, std = normalize_mel(chunk_mel_log)
-            mel_denorm = denormalize_mel(x_ref, mean, std)
-            lin = np.asarray(jnp.exp(mel_denorm))[0].T  # [n_mels, frames]
-
-            f0 = i * self.hop_frames
-            final_mel[:, f0 : f0 + self.chunk_frames] += lin * window
-            final_w[:, f0 : f0 + self.chunk_frames] += window
-
-        final_mel = final_mel / np.clip(final_w, 1e-5, None)
-        final_mel = final_mel[:, :total_frames]
+        ]
+        final_mel = np.concatenate(segments, axis=1)
 
         if not vocode:
             return final_mel, None
 
-        wav_out = self.vocode(final_mel, rng, n_iter=griffin_lim_iters)
-        return final_mel, np.asarray(wav_out)[: total]
+        wav_out = self.vocode(
+            final_mel, jax.random.fold_in(rng, 1), n_iter=griffin_lim_iters
+        )
+        return final_mel, np.asarray(wav_out)[:total]
 
     def generate_streaming(
         self,

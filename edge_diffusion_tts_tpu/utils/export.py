@@ -1,11 +1,18 @@
-"""Model export for edge deployment: StableHLO via jax.export.
+"""Model export for edge deployment: StableHLO and TFLite.
 
 Capability parity with the reference's ONNX export (reference:
-edge_diffusion_tts/utils/export.py:12-40, opset 14, dynamic batch/time):
-``jax.export`` serializes the jitted decoder forward — inputs
-(x_t, t, sem_idx, step_idx) -> prediction — with symbolic batch/time/context
-dimensions, producing a portable StableHLO artifact that any XLA-backed
-runtime (TPU, GPU, CPU, IREE) can load and run.
+edge_diffusion_tts/utils/export.py:12-40, opset 14, dynamic batch/time),
+with two consumable artifacts:
+
+  - **StableHLO** via ``jax.export``: the jitted decoder forward — inputs
+    (x_t, t, sem_idx, step_idx) -> prediction — with symbolic
+    batch/time/context dimensions; loadable by any XLA-backed runtime
+    (TPU, GPU, CPU, IREE, PJRT plugins).
+  - **TFLite** via jax2tf: a static-shape flatbuffer that a stock
+    ``tf.lite.Interpreter`` (LiteRT) loads and executes on edge devices with
+    no JAX anywhere — the direct equivalent of the reference's
+    ONNX-Runtime-on-device story.  Verified bit-exact against the JAX
+    forward in tests/test_inference.py.
 """
 
 from __future__ import annotations
@@ -60,3 +67,83 @@ def load_exported(path: str):
 
     with open(path, "rb") as f:
         return jexport.deserialize(f.read())
+
+
+def export_tflite(
+    cfg: CFG,
+    decoder,
+    decoder_params,
+    out_path: str,
+    batch: int = 1,
+    t_frames: int = 200,
+    s_tokens: int = 100,
+) -> str:
+    """Serialize the decoder forward as a TFLite flatbuffer; returns the path.
+
+    Inputs (x_t [B,T,n_mels] f32, t [B] i32, sem_idx [B,S] i32,
+    step_idx [B] i32) -> prediction [B,T,n_mels] f32, mirroring the
+    reference ONNX signature (utils/export.py:25-37).  TFLite requires
+    static shapes; export one flatbuffer per deployment shape.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    def fwd(x_t, t, sem_idx, step_idx):
+        return decoder.apply(
+            {"params": decoder_params}, x_t, t, sem_idx=sem_idx,
+            step_idx=step_idx,
+        )
+
+    sig = [
+        tf.TensorSpec((batch, t_frames, cfg.n_mels), tf.float32, name="x_t"),
+        tf.TensorSpec((batch,), tf.int32, name="t"),
+        tf.TensorSpec((batch, s_tokens), tf.int32, name="sem_idx"),
+        tf.TensorSpec((batch,), tf.int32, name="step_idx"),
+    ]
+    tf_fn = tf.function(
+        jax2tf.convert(fwd, with_gradient=False),
+        input_signature=sig,
+        autograph=False,
+    )
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tf_fn.get_concrete_function()], tf_fn
+    )
+    converter.target_spec.supported_ops = [
+        tf.lite.OpsSet.TFLITE_BUILTINS,
+        tf.lite.OpsSet.SELECT_TF_OPS,
+    ]
+    blob = converter.convert()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    print(f"Exported decoder ({len(blob) / 1e6:.2f} MB TFLite) -> {out_path}")
+    return out_path
+
+
+def load_tflite(path: str):
+    """Load a TFLite decoder; returns ``run(x_t, t, sem_idx, step_idx)``.
+
+    Pure-TF consumption path (no JAX): tf.lite.Interpreter with inputs fed
+    in export order.
+    """
+    import numpy as np
+    import tensorflow as tf
+
+    interp = tf.lite.Interpreter(model_path=path)
+    interp.allocate_tensors()
+    inputs = interp.get_input_details()
+    output = interp.get_output_details()[0]
+
+    def run(x_t, t, sem_idx, step_idx):
+        vals = [
+            np.asarray(x_t, np.float32),
+            np.asarray(t, np.int32),
+            np.asarray(sem_idx, np.int32),
+            np.asarray(step_idx, np.int32),
+        ]
+        for detail, val in zip(inputs, vals):
+            interp.set_tensor(detail["index"], val)
+        interp.invoke()
+        return interp.get_tensor(output["index"])
+
+    return run

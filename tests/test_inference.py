@@ -54,6 +54,63 @@ def test_generate_from_audio_requires_encoder(tiny_inference):
         inf.generate_from_audio(jnp.zeros((100,)))
 
 
+def test_generate_from_audio_encode_is_jit_cached(tiny_inference):
+    """The encode path compiles ONCE per wav shape (the HuBERT forward is the
+    dominant cost of the batched config; it must not re-trace per call)."""
+    cfg, decoder, params, _ = tiny_inference
+    traces = []
+
+    def encoder_apply(p, wav):
+        traces.append(wav.shape)  # runs only when jit traces
+        S = wav.shape[-1] // 320
+        return jnp.zeros((wav.shape[0], S), jnp.int32)
+
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    inf = EdgeInference(
+        cfg,
+        schedule,
+        lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
+        params,
+        encoder_apply=encoder_apply,
+        encoder_params={},
+    )
+    wav = jnp.zeros((2, 3200), jnp.float32)
+    mel1 = inf.generate_from_audio(wav, num_steps=1)
+    mel2 = inf.generate_from_audio(wav, num_steps=1)
+    assert mel1.shape == mel2.shape == (2, 20, cfg.n_mels)
+    assert len(traces) == 1, "same shape must reuse the compiled encode"
+    inf.generate_from_audio(jnp.zeros((2, 6400), jnp.float32), num_steps=1)
+    assert len(traces) == 2, "new shape triggers exactly one new trace"
+
+
+def test_export_tflite_roundtrip(tiny_inference, tmp_path):
+    """Edge-runtime consumption: the decoder exports to a TFLite flatbuffer
+    that a stock tf.lite.Interpreter (no JAX) loads and executes, matching
+    the JAX forward (reference capability: ONNX export, utils/export.py)."""
+    pytest.importorskip("tensorflow")
+    cfg, decoder, params, _ = tiny_inference
+    from edge_diffusion_tts_tpu.utils.export import export_tflite, load_tflite
+
+    B, T, S = 1, 20, 10
+    path = str(tmp_path / "decoder.tflite")
+    export_tflite(cfg, decoder, params, path, batch=B, t_frames=T, s_tokens=S)
+    run = load_tflite(path)
+
+    x = np.random.RandomState(0).randn(B, T, cfg.n_mels).astype(np.float32)
+    t = np.full((B,), 10, np.int32)
+    sem = np.zeros((B, S), np.int32)
+    si = np.zeros((B,), np.int32)
+    out = run(x, t, sem, si)
+    ref = np.asarray(
+        decoder.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(t),
+            sem_idx=jnp.asarray(sem), step_idx=jnp.asarray(si),
+        )
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_export_stablehlo_roundtrip(tiny_inference, tmp_path):
     cfg, decoder, params, _ = tiny_inference
     from edge_diffusion_tts_tpu.utils.export import export_for_edge, load_exported
