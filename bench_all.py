@@ -9,9 +9,12 @@
 Plus two headline variants (pass --variants): bf16 module compute and the
 fused-Pallas single-launch backend (ops/fused_denoise.py).
 
-Prints one JSON line per config.  Device time is measured amortized (chained
-dependent iterations inside one program) where dispatch overhead would
-otherwise dominate — see bench.py's docstring for why.
+Prints one JSON line per config.  DEVICE time is reported via the two-point
+amortization fit (utils/speed.py::fit_device_ms): chains of two lengths
+inside single jitted programs separate per-iteration device time from the
+tunnel's fixed ~30 ms dispatch/poll cost.  Chain bodies are made
+carry-dependent (and the encode input carry-perturbed) so XLA cannot hoist
+loop-invariant work out of the measured scan.
 """
 
 from __future__ import annotations
@@ -22,20 +25,8 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 AUDIO_SECS = 5.0
-
-
-def _amortized_ms(fn, reps, runs=6, *args):
-    jax.block_until_ready(fn(jax.random.PRNGKey(0), *args))
-    ts = []
-    for i in range(runs):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(jax.random.PRNGKey(1 + i), *args))
-        ts.append((time.perf_counter() - t0) * 1e3)
-    ts.sort()
-    return ts[len(ts) // 2] / reps
 
 
 def main():
@@ -51,6 +42,7 @@ def main():
         ddim_sample,
         ddpm_sample,
     )
+    from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
 
     cfg = CFG()
     decoder = EdgeDiffusionDecoder(cfg)
@@ -59,58 +51,67 @@ def main():
     S = int(AUDIO_SECS * 50)
     results = []
 
-    def decode_chain(num_steps, sampler, B=1, reps=10):
-        sem_idx = jnp.zeros((B, S), jnp.int32)
-
-        @jax.jit
-        def run(rng):
-            def body(key, _):
-                k_next, k_noise = jax.random.split(key)
-                x_T = jax.random.normal(k_noise, (B, S * 2, cfg.n_mels))
-
-                def model_fn(x, t, si):
-                    return decoder.apply(
-                        {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
-                    )
-
-                if sampler == "ddim":
-                    x0 = ddim_sample(schedule, model_fn, x_T, num_steps)
-                else:
-                    x0 = ddpm_sample(schedule, model_fn, x_T, k_noise)
-                return k_next, x0[0, 0, 0]
-
-            _, outs = jax.lax.scan(body, rng, None, length=reps)
-            return outs.sum()
-
-        return run
-
-    # 1. 4-step DDIM
-    ms = _amortized_ms(decode_chain(4, "ddim", reps=10), 10)
     def emit(r):
         results.append(r)
         print(json.dumps(r), flush=True)
 
+    def decode_chain_builder(dec, num_steps, sampler="ddim", B=1):
+        sem_idx = jnp.zeros((B, S), jnp.int32)
+
+        def build(reps):
+            @jax.jit
+            def run(params, rng):
+                def body(key, _):
+                    k_next, k_noise = jax.random.split(key)
+                    x_T = jax.random.normal(k_noise, (B, S * 2, cfg.n_mels))
+
+                    def model_fn(x, t, si):
+                        return dec.apply(
+                            {"params": params}, x, t, sem_idx=sem_idx,
+                            step_idx=si,
+                        )
+
+                    if sampler == "ddim":
+                        x0 = ddim_sample(schedule, model_fn, x_T, num_steps)
+                    else:
+                        x0 = ddpm_sample(schedule, model_fn, x_T, k_noise)
+                    return k_next, x0[0, 0, 0]
+
+                _, outs = jax.lax.scan(body, rng, None, length=reps)
+                return outs.sum()
+
+            return lambda: run(params, jax.random.PRNGKey(1))
+
+        return build
+
+    # 1. 4-step DDIM
+    fit = fit_device_ms(decode_chain_builder(decoder, 4), reps=(10, 80))
+    ms = fit["device_ms"]
     emit(
         {"metric": "4step_ddim_5s", "value": round(ms, 3), "unit": "ms",
          "vs_baseline": round(50.0 / ms, 2)}
     )
 
     # 2. 1-step
-    ms = _amortized_ms(decode_chain(1, "ddim", reps=10), 10)
+    ms = fit_device_ms(decode_chain_builder(decoder, 1), reps=(10, 80))[
+        "device_ms"
+    ]
     emit(
         {"metric": "1step_5s", "value": round(ms, 3), "unit": "ms",
          "vs_baseline": round(50.0 / ms, 2)}
     )
 
-    # 3. 1000-step DDPM (one pass is long; no chaining needed)
-    run1000 = decode_chain(1000, "ddpm", reps=1)
-    ms = _amortized_ms(run1000, 1, runs=3)
+    # 3. 1000-step DDPM (long program; short chains suffice)
+    ms = fit_device_ms(
+        decode_chain_builder(decoder, 1000, sampler="ddpm"),
+        reps=(1, 4), runs=3,
+    )["device_ms"]
     emit(
         {"metric": "1000step_ddpm_5s", "value": round(ms, 1), "unit": "ms",
          "vs_baseline": None}
     )
 
-    # 4. batched 32-utterance encode + 4-step decode (full pipeline)
+    # 4. batched 32-utterance encode (HuBERT+FSQ) + 4-step decode
     encoder = SemanticEncoder(cfg, HubertConfig())
     wav = jnp.zeros((1, cfg.segment_len), jnp.float32)
     enc_vars = encoder.init(
@@ -121,21 +122,33 @@ def main():
     B = 32
     wavs = jax.random.normal(jax.random.PRNGKey(4), (B, cfg.segment_len)) * 0.1
 
-    @jax.jit
-    def batch_pipeline(rng, enc_vars, params, wavs):
-        # NOTE: large param trees must be ARGUMENTS, not closure captures —
-        # captured trees become HLO constants and blow up the program size.
-        sem = encoder.apply(enc_vars, wavs, method=encoder.encode)
-        x_T = jax.random.normal(rng, (B, sem.shape[1] * 2, cfg.n_mels))
+    def batch_builder(reps):
+        @jax.jit
+        def run(enc_vars, params, wavs, rng):
+            # NOTE: large param trees must be ARGUMENTS, not closure captures —
+            # captured trees become HLO constants and blow up the program size.
+            def body(key, _):
+                k_next, k_eps, k_x = jax.random.split(key, 3)
+                # Carry-dependent perturbation so the encode cannot be
+                # hoisted out of the scan as loop-invariant.
+                w = wavs + 1e-6 * jax.random.normal(k_eps, wavs.shape)
+                sem = encoder.apply(enc_vars, w, method=encoder.encode)
+                x_T = jax.random.normal(k_x, (B, sem.shape[1] * 2, cfg.n_mels))
 
-        def model_fn(x, t, si):
-            return decoder.apply(
-                {"params": params}, x, t, sem_idx=sem, step_idx=si
-            )
+                def model_fn(x, t, si):
+                    return decoder.apply(
+                        {"params": params}, x, t, sem_idx=sem, step_idx=si
+                    )
 
-        return ddim_sample(schedule, model_fn, x_T, 4)[:, 0, 0].sum()
+                x0 = ddim_sample(schedule, model_fn, x_T, 4)
+                return k_next, x0[:, 0, 0].sum()
 
-    ms = _amortized_ms(batch_pipeline, 1, 6, enc_vars, params, wavs)
+            _, outs = jax.lax.scan(body, rng, None, length=reps)
+            return outs.sum()
+
+        return lambda: run(enc_vars, params, wavs, jax.random.PRNGKey(5))
+
+    ms = fit_device_ms(batch_builder, reps=(2, 8), runs=4)["device_ms"]
     emit(
         {"metric": "batch32_encode_decode_2s", "value": round(ms, 2),
          "unit": "ms", "vs_baseline": None,
@@ -159,14 +172,14 @@ def main():
         jax.random.PRNGKey(5), (32, tcfg.segment_len)) * 0.1}
 
     state, m = step(state, batch, jax.random.PRNGKey(6))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     # Pipelined (async dispatch, sync once at the end) — how the real epoch
-    # loop runs; per-step sync would measure tunnel latency, not the device.
+    # loop runs; the fixed dispatch cost amortizes over N steps.
     N = 32
     t0 = time.perf_counter()
     for i in range(N):
         state, m = step(state, batch, jax.random.PRNGKey(7 + i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # fetch = completion barrier
     ms = (time.perf_counter() - t0) * 1e3 / N
     emit(
         {"metric": "train_step_b32", "value": round(ms, 2), "unit": "ms",
@@ -178,32 +191,10 @@ def main():
         return
 
     # 6. headline in bf16 module compute (params f32, matmuls bf16)
-    cfg16 = CFG(compute_dtype="bfloat16")
-    dec16 = EdgeDiffusionDecoder(cfg16, dtype=jnp.bfloat16)
-
-    def decode_chain_with(dec, num_steps, B=1, reps=10):
-        sem_idx = jnp.zeros((B, S), jnp.int32)
-
-        @jax.jit
-        def run(rng, params):
-            def body(key, _):
-                k_next, k_noise = jax.random.split(key)
-                x_T = jax.random.normal(k_noise, (B, S * 2, cfg.n_mels))
-
-                def model_fn(x, t, si):
-                    return dec.apply(
-                        {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
-                    )
-
-                x0 = ddim_sample(schedule, model_fn, x_T, num_steps)
-                return k_next, x0[0, 0, 0]
-
-            _, outs = jax.lax.scan(body, rng, None, length=reps)
-            return outs.sum()
-
-        return run
-
-    ms = _amortized_ms(decode_chain_with(dec16, 4), 10, 6, params)
+    dec16 = EdgeDiffusionDecoder(cfg, dtype=jnp.bfloat16)
+    ms = fit_device_ms(decode_chain_builder(dec16, 4), reps=(10, 80))[
+        "device_ms"
+    ]
     emit(
         {"metric": "4step_ddim_5s_bf16", "value": round(ms, 3), "unit": "ms",
          "vs_baseline": round(50.0 / ms, 2)}
@@ -214,23 +205,60 @@ def main():
 
     sem_idx = jnp.zeros((1, S), jnp.int32)
 
-    @jax.jit
-    def fused_chain(rng, params):
-        def body(key, _):
-            k_next, k_noise = jax.random.split(key)
-            x_T = jax.random.normal(k_noise, (1, S * 2, cfg.n_mels))
-            x0 = fused_generate_mel(
-                cfg, schedule, params, sem_idx, x_T, 4, "eps"
-            )
-            return k_next, x0[0, 0, 0]
+    def fused_builder(reps):
+        @jax.jit
+        def run(params, rng):
+            def body(key, _):
+                k_next, k_noise = jax.random.split(key)
+                x_T = jax.random.normal(k_noise, (1, S * 2, cfg.n_mels))
+                x0 = fused_generate_mel(
+                    cfg, schedule, params, sem_idx, x_T, 4, "eps"
+                )
+                return k_next, x0[0, 0, 0]
 
-        _, outs = jax.lax.scan(body, rng, None, length=10)
-        return outs.sum()
+            _, outs = jax.lax.scan(body, rng, None, length=reps)
+            return outs.sum()
 
-    ms = _amortized_ms(fused_chain, 10, 4, params)
+        return lambda: run(params, jax.random.PRNGKey(8))
+
+    ms = fit_device_ms(fused_builder, reps=(10, 80), runs=4)["device_ms"]
     emit(
         {"metric": "4step_ddim_5s_fused_pallas", "value": round(ms, 3),
          "unit": "ms", "vs_baseline": round(50.0 / ms, 2)}
+    )
+
+    # 8. batched 32-utterance pipeline with bf16 module compute (params stay
+    # f32; matmuls run bf16 on the MXU — the 95M-param HuBERT encode is
+    # MXU-bound at batch 32, unlike the latency-bound flagship decode).
+    enc16 = SemanticEncoder(cfg, HubertConfig(), dtype=jnp.bfloat16)
+
+    def batch16_builder(reps):
+        @jax.jit
+        def run(enc_vars, params, wavs, rng):
+            def body(key, _):
+                k_next, k_eps, k_x = jax.random.split(key, 3)
+                w = wavs + 1e-6 * jax.random.normal(k_eps, wavs.shape)
+                sem = enc16.apply(enc_vars, w, method=enc16.encode)
+                x_T = jax.random.normal(k_x, (B, sem.shape[1] * 2, cfg.n_mels))
+
+                def model_fn(x, t, si):
+                    return dec16.apply(
+                        {"params": params}, x, t, sem_idx=sem, step_idx=si
+                    )
+
+                x0 = ddim_sample(schedule, model_fn, x_T, 4)
+                return k_next, x0[:, 0, 0].sum().astype(jnp.float32)
+
+            _, outs = jax.lax.scan(body, rng, None, length=reps)
+            return outs.sum()
+
+        return lambda: run(enc_vars, params, wavs, jax.random.PRNGKey(5))
+
+    ms = fit_device_ms(batch16_builder, reps=(2, 8), runs=4)["device_ms"]
+    emit(
+        {"metric": "batch32_encode_decode_2s_bf16", "value": round(ms, 2),
+         "unit": "ms", "vs_baseline": None,
+         "per_utt_ms": round(ms / B, 3)}
     )
 
 

@@ -4,7 +4,7 @@ Measures, on the real TPU chip:
 
   1. banded (sliding-window) attention: Pallas kernel vs XLA masked SDPA,
      flagship head geometry (B=1, H=4, d=40, window=64), T in
-     {500, 1000, 2000, 4000, 8000};
+     {500, 1000, 2000, 3000, 4000, 8000};
   2. the fused whole-loop denoise kernel vs the XLA lax.scan program at the
      flagship decoder shape for T in {500, 1000} (the decoder positional
      table caps T at 1000).
@@ -13,16 +13,17 @@ Prints one JSON line per measurement plus a final crossover summary.  The
 committed results drive cfg.pallas_min_seq_len (the auto-selection threshold
 in EdgeDiffusionDecoder).
 
-Methodology (CLAUDE.md): device time is measured by chaining dependent
-iterations inside ONE jitted program and dividing, to stay clear of the
-tunnel's ~30 ms completion-poll quantum.
+Methodology: per-iteration DEVICE time via the two-point amortization fit
+(utils/speed.py::fit_device_ms) — chains of two lengths inside single jitted
+programs separate device time from the tunnel's fixed ~30 ms dispatch cost;
+the scalar result is fetched (block_until_ready is not a reliable barrier
+through the tunnel).
 """
 
 from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -30,58 +31,52 @@ import jax.numpy as jnp
 HEADS, HEAD_DIM, WINDOW = 4, 40, 64
 
 
-def timed(fn, *args, runs=5):
-    jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append((time.perf_counter() - t0) * 1e3)
-    ts.sort()
-    return ts[len(ts) // 2]
-
-
-def bench_banded(T: int, reps: int = 50):
+def bench_banded(T: int):
     from edge_diffusion_tts_tpu.layers.attention import (
         local_attention_mask,
         sdpa,
     )
     from edge_diffusion_tts_tpu.ops.window_attention import banded_attention
+    from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
 
     shape = (1, HEADS, T, HEAD_DIM)
     q = jax.random.normal(jax.random.PRNGKey(0), shape)
     k = jax.random.normal(jax.random.PRNGKey(1), shape)
     v = jax.random.normal(jax.random.PRNGKey(2), shape)
 
-    def chain(attn_fn):
-        @jax.jit
-        def run(q, k, v):
-            def body(carry, _):
-                out = attn_fn(carry, k, v)
-                return out, out[0, 0, 0, 0]
+    def builder(attn_fn):
+        def build(reps):
+            @jax.jit
+            def run(q, k, v):
+                def body(carry, _):
+                    out = attn_fn(carry, k, v)
+                    return out, out[0, 0, 0, 0]
 
-            _, outs = jax.lax.scan(body, q, None, length=reps)
-            return outs.sum()
+                _, outs = jax.lax.scan(body, q, None, length=reps)
+                return outs.sum()
 
-        return run
+            return lambda: run(q, k, v)
 
-    xla_fn = chain(
+        return build
+
+    xla = builder(
         lambda q, k, v: sdpa(q, k, v, local_attention_mask(T, WINDOW)[None, None])
     )
-    pal_fn = chain(
+    pal = builder(
         lambda q, k, v: banded_attention(q, k, v, WINDOW, interpret=False)
     )
-    ms_x = timed(xla_fn, q, k, v) / reps
-    ms_p = timed(pal_fn, q, k, v) / reps
+    ms_x = fit_device_ms(xla, reps=(100, 600))["device_ms"]
+    ms_p = fit_device_ms(pal, reps=(100, 600))["device_ms"]
     return ms_x, ms_p
 
 
-def bench_fused(T_mel: int, num_steps: int = 4, reps: int = 10):
+def bench_fused(T_mel: int, num_steps: int = 4):
     from edge_diffusion_tts_tpu.config import CFG
     from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
     from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
     from edge_diffusion_tts_tpu.ops.fused_denoise import fused_generate_mel
     from edge_diffusion_tts_tpu.schedule import DiffusionSchedule, ddim_sample
+    from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
 
     cfg = CFG()
     decoder = EdgeDiffusionDecoder(cfg, use_pallas=False)
@@ -90,52 +85,59 @@ def bench_fused(T_mel: int, num_steps: int = 4, reps: int = 10):
     S = T_mel // 2
     sem_idx = jnp.zeros((1, S), jnp.int32)
 
-    @jax.jit
-    def xla_chain(params, sem_idx, rng):
-        def body(key, _):
-            k_next, k_noise = jax.random.split(key)
-            x_T = jax.random.normal(k_noise, (1, T_mel, cfg.n_mels))
+    def xla_builder(reps):
+        @jax.jit
+        def run(params, rng):
+            def body(key, _):
+                k_next, k_noise = jax.random.split(key)
+                x_T = jax.random.normal(k_noise, (1, T_mel, cfg.n_mels))
 
-            def model_fn(x, t, si):
-                return decoder.apply(
-                    {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
+                def model_fn(x, t, si):
+                    return decoder.apply(
+                        {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
+                    )
+
+                x0 = ddim_sample(
+                    schedule, model_fn, x_T, num_steps, prediction="eps"
                 )
+                return k_next, x0[0, 0, 0]
 
-            x0 = ddim_sample(schedule, model_fn, x_T, num_steps, prediction="eps")
-            return k_next, x0[0, 0, 0]
+            _, outs = jax.lax.scan(body, rng, None, length=reps)
+            return outs.sum()
 
-        _, outs = jax.lax.scan(body, rng, None, length=reps)
-        return outs.sum()
+        return lambda: run(params, jax.random.PRNGKey(3))
 
-    @jax.jit
-    def fused_chain(params, sem_idx, rng):
-        def body(key, _):
-            k_next, k_noise = jax.random.split(key)
-            x_T = jax.random.normal(k_noise, (1, T_mel, cfg.n_mels))
-            x0 = fused_generate_mel(
-                cfg, schedule, params, sem_idx, x_T, num_steps, "eps"
-            )
-            return k_next, x0[0, 0, 0]
+    def fused_builder(reps):
+        @jax.jit
+        def run(params, rng):
+            def body(key, _):
+                k_next, k_noise = jax.random.split(key)
+                x_T = jax.random.normal(k_noise, (1, T_mel, cfg.n_mels))
+                x0 = fused_generate_mel(
+                    cfg, schedule, params, sem_idx, x_T, num_steps, "eps"
+                )
+                return k_next, x0[0, 0, 0]
 
-        _, outs = jax.lax.scan(body, rng, None, length=reps)
-        return outs.sum()
+            _, outs = jax.lax.scan(body, rng, None, length=reps)
+            return outs.sum()
 
-    ms_x = timed(xla_chain, params, sem_idx, jax.random.PRNGKey(3), runs=4) / reps
-    ms_f = timed(fused_chain, params, sem_idx, jax.random.PRNGKey(3), runs=4) / reps
+        return lambda: run(params, jax.random.PRNGKey(3))
+
+    ms_x = fit_device_ms(xla_builder, reps=(10, 80), runs=4)["device_ms"]
+    ms_f = fit_device_ms(fused_builder, reps=(10, 80), runs=4)["device_ms"]
     return ms_x, ms_f
 
 
 def main():
-    out = {"backend": jax.default_backend()}
     print(f"# backend={jax.default_backend()}", file=sys.stderr, flush=True)
 
     crossover = None
-    for T in (500, 1000, 2000, 4000, 8000):
+    for T in (500, 1000, 2000, 3000, 4000, 8000):
         ms_x, ms_p = bench_banded(T)
         rec = {
             "metric": "banded_attention", "T": T, "window": WINDOW,
             "xla_ms": round(ms_x, 4), "pallas_ms": round(ms_p, 4),
-            "speedup": round(ms_x / ms_p, 3),
+            "speedup": round(ms_x / ms_p, 3) if ms_p else None,
         }
         print(json.dumps(rec), flush=True)
         if crossover is None and ms_p < ms_x:
@@ -150,7 +152,7 @@ def main():
         print(json.dumps({
             "metric": "fused_denoise_4step", "T_mel": T,
             "xla_ms": round(ms_x, 4), "fused_ms": round(ms_f, 4),
-            "speedup": round(ms_x / ms_f, 3),
+            "speedup": round(ms_x / ms_f, 3) if ms_f else None,
         }), flush=True)
 
 

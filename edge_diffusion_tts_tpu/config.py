@@ -115,9 +115,11 @@ class CFG:
     # Allow the Pallas banded-attention kernel for windowed self-attention.
     # The kernel only engages when the mel sequence length reaches
     # pallas_min_seq_len — below that the XLA masked-SDPA path is measured
-    # faster on v5e (see ops/window_attention.py docstring).
+    # faster on v5e.  Crossover measured at T=3000 (window 64, 4 heads of 40):
+    # XLA wins up to T=2000, Pallas wins 3.9x at 3000 rising to 9.7x at 8000
+    # (PALLAS_CROSSOVER_r02.jsonl, bench_pallas.py).
     use_flash_attn: bool = True
-    pallas_min_seq_len: int = 1024
+    pallas_min_seq_len: int = 3000
     use_adaln: bool = True
     dropout: float = 0.2
     attn_window_size: int = 64

@@ -16,12 +16,19 @@ dimension innermost — TPU grids execute sequentially on a core, so scratch
 carries state across k tiles of one q tile; state resets at k-tile 0 and the
 normalized output is written at the last k tile.
 
-Measured guidance (v5e): at the flagship shapes (T=500, window=64, 4 heads
-of d=40) the XLA masked-SDPA path is FASTER (1.28 vs 1.91 ms per 4-step
-generation) — per-pallas_call overhead outweighs the 75% score-FLOP saving
-at this size, while outputs match bit-exactly. This kernel wins as T grows
-(score work is O(T*window) vs O(T^2)); keep ``use_pallas=False`` for short
-sequences.
+Measured guidance (v5e, two-point device-time fit, B=1 H=4 d=40 window=64;
+PALLAS_CROSSOVER_r02.jsonl):
+
+    T        500     1000    2000    3000    4000    8000
+    XLA ms   0.003   0.010   0.063   0.624   1.089   4.244
+    Pallas   0.033   0.058   0.121   0.162   0.218   0.437
+    speedup  0.09x   0.17x   0.52x   3.9x    5.0x    9.7x
+
+Per-pallas_call overhead and MXU underutilization (40-wide contractions in
+128x128 tiles) make the dense XLA path faster up to T=2000; the kernel's
+O(T*window) score work wins from T=3000 and scales linearly while XLA's
+O(T^2) explodes.  EdgeDiffusionDecoder auto-selects via
+cfg.pallas_min_seq_len (default 3000).
 """
 
 from __future__ import annotations

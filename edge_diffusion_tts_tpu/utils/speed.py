@@ -74,6 +74,66 @@ def benchmark(
     }
 
 
+def fit_device_ms(
+    chain_builder: Callable,
+    args: tuple = (),
+    reps: tuple = (25, 200),
+    runs: int = 5,
+    min_spread_ms: float = 300.0,
+    max_reps: int = 200_000,
+) -> Dict[str, float]:
+    """Per-iteration device time of a chained program via two-point fit.
+
+    Through a high-latency dispatch path (e.g. a tunneled TPU) a single
+    measurement conflates device time with a fixed per-dispatch overhead —
+    and completion is observed by POLLING (~30 ms quantum here), so wall
+    times snap to poll boundaries.  Model ``wall(reps) = overhead +
+    reps * device_ms`` and fit the slope between chains of two lengths,
+    AUTO-GROWING the long chain until the wall-time spread is at least
+    ``min_spread_ms`` so the +-1-quantum snap error stays small.
+
+    ``chain_builder(reps)`` must return a callable whose result is a SCALAR
+    that is fetched (``float``) — through the tunnel, ``block_until_ready``
+    does not reliably await small programs; only a D2H fetch is a
+    trustworthy completion barrier.
+
+    Returns {"device_ms", "overhead_ms", "wall_lo_ms", "wall_hi_ms",
+    "reps_hi"}.
+    """
+
+    def median_wall(r):
+        fn = chain_builder(r)
+        float(fn(*args))  # compile + warmup, fetched
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    lo, hi = reps
+    wall_lo = median_wall(lo)
+    # Pilot estimate bounds device_ms from above (includes the overhead),
+    # giving a first guess for a long-enough chain; then escalate as needed.
+    d_ub = wall_lo / lo
+    hi = max(hi, lo + int(min_spread_ms / max(d_ub, 1e-9)))
+    hi = min(hi, max_reps)
+    wall_hi = median_wall(hi)
+    while wall_hi - wall_lo < min_spread_ms and hi < max_reps:
+        hi = min(hi * 4, max_reps)
+        wall_hi = median_wall(hi)
+
+    d = max((wall_hi - wall_lo) / (hi - lo), 0.0)
+    return {
+        "device_ms": d,
+        "overhead_ms": max(wall_lo - lo * d, 0.0),
+        "wall_lo_ms": wall_lo,
+        "wall_hi_ms": wall_hi,
+        "reps_hi": float(hi),
+    }
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str = "/tmp/jax_trace"):
     """jax.profiler trace context (view with TensorBoard or Perfetto)."""

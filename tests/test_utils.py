@@ -72,3 +72,35 @@ def test_remat_decoder_wraps():
     y = dec.apply(params, x, jnp.zeros((1,), jnp.int32),
                   sem_idx=jnp.zeros((1, 4), jnp.int32))
     assert y.shape == (1, 8, cfg.n_mels)
+
+
+def test_fit_device_ms_recovers_slope():
+    """fit_device_ms must recover per-iteration time from walls that include
+    a fixed overhead and snap to a completion-poll quantum (the tunnel's
+    observed behavior: wall = quantize(overhead + reps * d))."""
+    import math
+
+    from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
+
+    d_true = 0.05  # ms per iteration
+    overhead = 5.0  # ms fixed dispatch cost
+    quantum = 6.0  # ms completion-poll interval
+
+    def chain_builder(reps):
+        def run():
+            import time as _t
+
+            wall = overhead + reps * d_true
+            wall = math.ceil(wall / quantum) * quantum
+            _t.sleep(wall / 1e3)
+            return 0.0
+
+        return run
+
+    fit = fit_device_ms(
+        chain_builder, reps=(10, 100), runs=3, min_spread_ms=50.0,
+        max_reps=5000,
+    )
+    # Spread >= 50 ms guarantees the +-1-quantum snap error stays < ~25%.
+    assert abs(fit["device_ms"] - d_true) / d_true < 0.3, fit
+    assert fit["wall_hi_ms"] - fit["wall_lo_ms"] >= 50.0
