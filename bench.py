@@ -16,10 +16,10 @@ result is FETCHED inside the timing loop: through the tunnel,
 a 4-byte D2H fetch is the trustworthy completion barrier.  The
 single-dispatch wall-clock number is reported on stderr alongside.
 
-The headline is measured on BOTH backends — the XLA lax.scan denoise loop
-and the fused single-launch Pallas kernel (ops/fused_denoise.py) — and the
-faster one is reported (fused wins at the flagship shape on v5e; falls back
-to XLA automatically if the Pallas path fails to compile).
+The headline is measured on three backends — the XLA lax.scan denoise loop
+(f32 and bf16 module compute) and the fused single-launch Pallas kernel
+(ops/fused_denoise.py) — and the fastest is reported (stderr names which).
+Each non-default backend is guarded: any failure falls back to XLA f32.
 """
 
 from __future__ import annotations
@@ -58,33 +58,55 @@ def main():
     # --- device latency via two-point amortization fit ---
     from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
 
-    def chain_builder(reps):
-        @jax.jit
-        def chained(params, sem_idx, rng):
-            def body(key, _):
-                k_next, k_noise = jax.random.split(key)
-                x_T = jax.random.normal(k_noise, (1, n_tokens * 2, cfg.n_mels))
-
-                def model_fn(x, t, si):
-                    return decoder.apply(
-                        {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
+    def make_chain_builder(dec):
+        def chain_builder(reps):
+            @jax.jit
+            def chained(params, sem_idx, rng):
+                def body(key, _):
+                    k_next, k_noise = jax.random.split(key)
+                    x_T = jax.random.normal(
+                        k_noise, (1, n_tokens * 2, cfg.n_mels)
                     )
 
-                x0 = ddim_sample(schedule, model_fn, x_T, 4, prediction="eps")
-                return k_next, x0[0, 0, 0]
+                    def model_fn(x, t, si):
+                        return dec.apply(
+                            {"params": params}, x, t, sem_idx=sem_idx,
+                            step_idx=si,
+                        )
 
-            _, outs = jax.lax.scan(body, rng, None, length=reps)
-            return outs.sum()
+                    x0 = ddim_sample(
+                        schedule, model_fn, x_T, 4, prediction="eps"
+                    )
+                    return k_next, x0[0, 0, 0].astype(jnp.float32)
 
-        return lambda: chained(params, sem_idx, jax.random.PRNGKey(3))
+                _, outs = jax.lax.scan(body, rng, None, length=reps)
+                return outs.sum()
 
-    fit = fit_device_ms(chain_builder, reps=(REPS_LO, REPS_HI), runs=RUNS)
+            return lambda: chained(params, sem_idx, jax.random.PRNGKey(3))
+
+        return chain_builder
+
+    fit = fit_device_ms(
+        make_chain_builder(decoder), reps=(REPS_LO, REPS_HI), runs=RUNS
+    )
     amortized_ms = fit["device_ms"]
     backend_used = "xla"
 
-    # --- fused-Pallas single-launch backend: headline = faster of the two
-    # (measured r2: fused 0.27 ms vs XLA 0.44 ms at this shape on v5e;
-    # PALLAS_CROSSOVER_r02.jsonl).  Guarded: fall back to XLA on any failure.
+    # --- bf16 module compute (params f32, matmuls bf16): measured fastest
+    # at the flagship shape on v5e (0.207 vs 0.242 ms).  Guarded fallback.
+    try:
+        dec16 = EdgeDiffusionDecoder(cfg, dtype=jnp.bfloat16)
+        fit16 = fit_device_ms(
+            make_chain_builder(dec16), reps=(REPS_LO, REPS_HI), runs=RUNS
+        )
+        if 0.0 < fit16["device_ms"] < amortized_ms:
+            fit, amortized_ms = fit16, fit16["device_ms"]
+            backend_used = "xla_bf16"
+    except Exception as e:  # pragma: no cover - TPU-only path
+        print(f"# bf16 backend skipped: {e!r}", file=sys.stderr)
+
+    # --- fused-Pallas single-launch backend (0.237 ms at this shape on
+    # v5e — ties XLA f32, trails xla_bf16).  Guarded: falls back on failure.
     try:
         from edge_diffusion_tts_tpu.ops.fused_denoise import fused_generate_mel
 

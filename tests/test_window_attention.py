@@ -48,3 +48,41 @@ def test_banded_full_window_equals_full_attention():
     ours = banded_attention(q, k, v, T)  # band covers everything
     ref = sdpa(q, k, v, None)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_decoder_auto_selects_pallas_by_seq_len():
+    """cfg.use_flash_attn + cfg.pallas_min_seq_len routing: the decoder's
+    self-attention uses the Pallas kernel only at/above the crossover length
+    (PALLAS_CROSSOVER_r02.jsonl -> default 3000), and the kernel path is
+    numerically equivalent to the XLA path."""
+    from edge_diffusion_tts_tpu.config import CFG
+    from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
+    from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
+
+    cfg = CFG(hidden=32, layers=1, heads=2, dropout=0.0, attn_window_size=4,
+              use_flash_attn=True, pallas_min_seq_len=16)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, jax.random.PRNGKey(0), cfg)
+
+    def fwd(T):
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, T, cfg.n_mels))
+        t = jnp.zeros((1,), jnp.int32)
+        sem = jnp.zeros((1, T // 2), jnp.int32)
+        return lambda: dec.apply(params, x, t, sem_idx=sem)
+
+    # Below the crossover: no pallas_call in the lowered program.
+    assert "pallas_call" not in str(jax.make_jaxpr(fwd(8))())
+    # At/above: the kernel is engaged.
+    jaxpr32 = str(jax.make_jaxpr(fwd(32))())
+    assert "pallas_call" in jaxpr32
+
+    # And the two routes agree numerically (interpret mode on CPU).
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, cfg.n_mels))
+    t = jnp.zeros((1,), jnp.int32)
+    sem = jnp.zeros((1, 16), jnp.int32)
+    out_pallas = dec.apply(params, x, t, sem_idx=sem)
+    dec_xla = EdgeDiffusionDecoder(cfg, use_pallas=False)
+    out_xla = dec_xla.apply(params, x, t, sem_idx=sem)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_xla), atol=2e-5
+    )
