@@ -56,38 +56,28 @@ def main():
     )
 
     # --- device latency via two-point amortization fit ---
-    from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
+    from edge_diffusion_tts_tpu.utils.speed import (
+        fit_device_ms,
+        scan_chain_builder,
+    )
 
-    def make_chain_builder(dec):
-        def chain_builder(reps):
-            @jax.jit
-            def chained(params, sem_idx, rng):
-                def body(key, _):
-                    k_next, k_noise = jax.random.split(key)
-                    x_T = jax.random.normal(
-                        k_noise, (1, n_tokens * 2, cfg.n_mels)
-                    )
+    def ddim_body(dec):
+        def body(key, params, sem_idx):
+            x_T = jax.random.normal(key, (1, n_tokens * 2, cfg.n_mels))
 
-                    def model_fn(x, t, si):
-                        return dec.apply(
-                            {"params": params}, x, t, sem_idx=sem_idx,
-                            step_idx=si,
-                        )
+            def model_fn(x, t, si):
+                return dec.apply(
+                    {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
+                )
 
-                    x0 = ddim_sample(
-                        schedule, model_fn, x_T, 4, prediction="eps"
-                    )
-                    return k_next, x0[0, 0, 0].astype(jnp.float32)
+            x0 = ddim_sample(schedule, model_fn, x_T, 4, prediction="eps")
+            return x0[0, 0, 0]
 
-                _, outs = jax.lax.scan(body, rng, None, length=reps)
-                return outs.sum()
-
-            return lambda: chained(params, sem_idx, jax.random.PRNGKey(3))
-
-        return chain_builder
+        return body
 
     fit = fit_device_ms(
-        make_chain_builder(decoder), reps=(REPS_LO, REPS_HI), runs=RUNS
+        scan_chain_builder(ddim_body(decoder), (params, sem_idx)),
+        reps=(REPS_LO, REPS_HI), runs=RUNS,
     )
     amortized_ms = fit["device_ms"]
     backend_used = "xla"
@@ -97,7 +87,8 @@ def main():
     try:
         dec16 = EdgeDiffusionDecoder(cfg, dtype=jnp.bfloat16)
         fit16 = fit_device_ms(
-            make_chain_builder(dec16), reps=(REPS_LO, REPS_HI), runs=RUNS
+            scan_chain_builder(ddim_body(dec16), (params, sem_idx)),
+            reps=(REPS_LO, REPS_HI), runs=RUNS,
         )
         if 0.0 < fit16["device_ms"] < amortized_ms:
             fit, amortized_ms = fit16, fit16["device_ms"]
@@ -110,25 +101,17 @@ def main():
     try:
         from edge_diffusion_tts_tpu.ops.fused_denoise import fused_generate_mel
 
-        def fused_builder(reps):
-            @jax.jit
-            def chained(params, sem_idx, rng):
-                def body(key, _):
-                    k_next, k_noise = jax.random.split(key)
-                    x_T = jax.random.normal(
-                        k_noise, (1, n_tokens * 2, cfg.n_mels)
-                    )
-                    x0 = fused_generate_mel(
-                        cfg, schedule, params, sem_idx, x_T, 4, "eps"
-                    )
-                    return k_next, x0[0, 0, 0]
+        def fused_body(key, params, sem_idx):
+            x_T = jax.random.normal(key, (1, n_tokens * 2, cfg.n_mels))
+            x0 = fused_generate_mel(
+                cfg, schedule, params, sem_idx, x_T, 4, "eps"
+            )
+            return x0[0, 0, 0]
 
-                _, outs = jax.lax.scan(body, rng, None, length=reps)
-                return outs.sum()
-
-            return lambda: chained(params, sem_idx, jax.random.PRNGKey(3))
-
-        fused_fit = fit_device_ms(fused_builder, reps=(10, 80), runs=4)
+        fused_fit = fit_device_ms(
+            scan_chain_builder(fused_body, (params, sem_idx)),
+            reps=(10, 80), runs=4,
+        )
         if 0.0 < fused_fit["device_ms"] < amortized_ms:
             fit, amortized_ms = fused_fit, fused_fit["device_ms"]
             backend_used = "fused_pallas"

@@ -42,7 +42,10 @@ def main():
         ddim_sample,
         ddpm_sample,
     )
-    from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
+    from edge_diffusion_tts_tpu.utils.speed import (
+        fit_device_ms,
+        scan_chain_builder,
+    )
 
     cfg = CFG()
     decoder = EdgeDiffusionDecoder(cfg)
@@ -58,31 +61,22 @@ def main():
     def decode_chain_builder(dec, num_steps, sampler="ddim", B=1):
         sem_idx = jnp.zeros((B, S), jnp.int32)
 
-        def build(reps):
-            @jax.jit
-            def run(params, rng):
-                def body(key, _):
-                    k_next, k_noise = jax.random.split(key)
-                    x_T = jax.random.normal(k_noise, (B, S * 2, cfg.n_mels))
+        def body(key, params):
+            k_x, k_samp = jax.random.split(key)
+            x_T = jax.random.normal(k_x, (B, S * 2, cfg.n_mels))
 
-                    def model_fn(x, t, si):
-                        return dec.apply(
-                            {"params": params}, x, t, sem_idx=sem_idx,
-                            step_idx=si,
-                        )
+            def model_fn(x, t, si):
+                return dec.apply(
+                    {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
+                )
 
-                    if sampler == "ddim":
-                        x0 = ddim_sample(schedule, model_fn, x_T, num_steps)
-                    else:
-                        x0 = ddpm_sample(schedule, model_fn, x_T, k_noise)
-                    return k_next, x0[0, 0, 0]
+            if sampler == "ddim":
+                x0 = ddim_sample(schedule, model_fn, x_T, num_steps)
+            else:
+                x0 = ddpm_sample(schedule, model_fn, x_T, k_samp)
+            return x0[0, 0, 0]
 
-                _, outs = jax.lax.scan(body, rng, None, length=reps)
-                return outs.sum()
-
-            return lambda: run(params, jax.random.PRNGKey(1))
-
-        return build
+        return scan_chain_builder(body, (params,))
 
     # 1. 4-step DDIM
     fit = fit_device_ms(decode_chain_builder(decoder, 4), reps=(10, 80))
@@ -122,33 +116,30 @@ def main():
     B = 32
     wavs = jax.random.normal(jax.random.PRNGKey(4), (B, cfg.segment_len)) * 0.1
 
-    def batch_builder(reps):
-        @jax.jit
-        def run(enc_vars, params, wavs, rng):
-            # NOTE: large param trees must be ARGUMENTS, not closure captures —
-            # captured trees become HLO constants and blow up the program size.
-            def body(key, _):
-                k_next, k_eps, k_x = jax.random.split(key, 3)
-                # Carry-dependent perturbation so the encode cannot be
-                # hoisted out of the scan as loop-invariant.
-                w = wavs + 1e-6 * jax.random.normal(k_eps, wavs.shape)
-                sem = encoder.apply(enc_vars, w, method=encoder.encode)
-                x_T = jax.random.normal(k_x, (B, sem.shape[1] * 2, cfg.n_mels))
+    def pipeline_body(enc, dec):
+        def body(key, enc_vars, params, wavs):
+            k_eps, k_x = jax.random.split(key)
+            # Key-dependent perturbation so the encode cannot be hoisted
+            # out of the scan as loop-invariant.
+            w = wavs + 1e-6 * jax.random.normal(k_eps, wavs.shape)
+            sem = enc.apply(enc_vars, w, method=enc.encode)
+            x_T = jax.random.normal(k_x, (B, sem.shape[1] * 2, cfg.n_mels))
 
-                def model_fn(x, t, si):
-                    return decoder.apply(
-                        {"params": params}, x, t, sem_idx=sem, step_idx=si
-                    )
+            def model_fn(x, t, si):
+                return dec.apply(
+                    {"params": params}, x, t, sem_idx=sem, step_idx=si
+                )
 
-                x0 = ddim_sample(schedule, model_fn, x_T, 4)
-                return k_next, x0[:, 0, 0].sum()
+            return ddim_sample(schedule, model_fn, x_T, 4)[:, 0, 0].sum()
 
-            _, outs = jax.lax.scan(body, rng, None, length=reps)
-            return outs.sum()
+        return body
 
-        return lambda: run(enc_vars, params, wavs, jax.random.PRNGKey(5))
-
-    ms = fit_device_ms(batch_builder, reps=(2, 8), runs=4)["device_ms"]
+    ms = fit_device_ms(
+        scan_chain_builder(
+            pipeline_body(encoder, decoder), (enc_vars, params, wavs)
+        ),
+        reps=(2, 8), runs=4,
+    )["device_ms"]
     emit(
         {"metric": "batch32_encode_decode_2s", "value": round(ms, 2),
          "unit": "ms", "vs_baseline": None,
@@ -205,23 +196,15 @@ def main():
 
     sem_idx = jnp.zeros((1, S), jnp.int32)
 
-    def fused_builder(reps):
-        @jax.jit
-        def run(params, rng):
-            def body(key, _):
-                k_next, k_noise = jax.random.split(key)
-                x_T = jax.random.normal(k_noise, (1, S * 2, cfg.n_mels))
-                x0 = fused_generate_mel(
-                    cfg, schedule, params, sem_idx, x_T, 4, "eps"
-                )
-                return k_next, x0[0, 0, 0]
+    def fused_body(key, params):
+        x_T = jax.random.normal(key, (1, S * 2, cfg.n_mels))
+        return fused_generate_mel(
+            cfg, schedule, params, sem_idx, x_T, 4, "eps"
+        )[0, 0, 0]
 
-            _, outs = jax.lax.scan(body, rng, None, length=reps)
-            return outs.sum()
-
-        return lambda: run(params, jax.random.PRNGKey(8))
-
-    ms = fit_device_ms(fused_builder, reps=(10, 80), runs=4)["device_ms"]
+    ms = fit_device_ms(
+        scan_chain_builder(fused_body, (params,)), reps=(10, 80), runs=4
+    )["device_ms"]
     emit(
         {"metric": "4step_ddim_5s_fused_pallas", "value": round(ms, 3),
          "unit": "ms", "vs_baseline": round(50.0 / ms, 2)}
@@ -232,29 +215,12 @@ def main():
     # MXU-bound at batch 32, unlike the latency-bound flagship decode).
     enc16 = SemanticEncoder(cfg, HubertConfig(), dtype=jnp.bfloat16)
 
-    def batch16_builder(reps):
-        @jax.jit
-        def run(enc_vars, params, wavs, rng):
-            def body(key, _):
-                k_next, k_eps, k_x = jax.random.split(key, 3)
-                w = wavs + 1e-6 * jax.random.normal(k_eps, wavs.shape)
-                sem = enc16.apply(enc_vars, w, method=enc16.encode)
-                x_T = jax.random.normal(k_x, (B, sem.shape[1] * 2, cfg.n_mels))
-
-                def model_fn(x, t, si):
-                    return dec16.apply(
-                        {"params": params}, x, t, sem_idx=sem, step_idx=si
-                    )
-
-                x0 = ddim_sample(schedule, model_fn, x_T, 4)
-                return k_next, x0[:, 0, 0].sum().astype(jnp.float32)
-
-            _, outs = jax.lax.scan(body, rng, None, length=reps)
-            return outs.sum()
-
-        return lambda: run(enc_vars, params, wavs, jax.random.PRNGKey(5))
-
-    ms = fit_device_ms(batch16_builder, reps=(2, 8), runs=4)["device_ms"]
+    ms = fit_device_ms(
+        scan_chain_builder(
+            pipeline_body(enc16, dec16), (enc_vars, params, wavs)
+        ),
+        reps=(2, 8), runs=4,
+    )["device_ms"]
     emit(
         {"metric": "batch32_encode_decode_2s_bf16", "value": round(ms, 2),
          "unit": "ms", "vs_baseline": None,
@@ -283,6 +249,27 @@ def main():
         {"metric": "train_step_b32_bf16", "value": round(ms, 2), "unit": "ms",
          "vs_baseline": None,
          "utt_per_sec": round(32 / (ms / 1e3), 1)}
+    )
+
+    # 10. 1000-step DDPM through the fused single-launch kernel (whole
+    # trajectory in one pallas_call, per-step noise from the on-chip PRNG).
+    from edge_diffusion_tts_tpu.ops.fused_denoise import fused_ddpm_sample
+
+    sem_idx_f = jnp.zeros((1, S), jnp.int32)
+
+    def fused_ddpm_body(key, params):
+        k_x, k_seed = jax.random.split(key)
+        x_T = jax.random.normal(k_x, (1, S * 2, cfg.n_mels))
+        return fused_ddpm_sample(
+            cfg, schedule, params, sem_idx_f, x_T, rng=k_seed
+        )[0, 0, 0]
+
+    ms = fit_device_ms(
+        scan_chain_builder(fused_ddpm_body, (params,)), reps=(1, 4), runs=3
+    )["device_ms"]
+    emit(
+        {"metric": "1000step_ddpm_5s_fused_pallas", "value": round(ms, 1),
+         "unit": "ms", "vs_baseline": None}
     )
 
 

@@ -37,7 +37,10 @@ def bench_banded(T: int):
         sdpa,
     )
     from edge_diffusion_tts_tpu.ops.window_attention import banded_attention
-    from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
+    from edge_diffusion_tts_tpu.utils.speed import (
+        fit_device_ms,
+        scan_chain_builder,
+    )
 
     shape = (1, HEADS, T, HEAD_DIM)
     q = jax.random.normal(jax.random.PRNGKey(0), shape)
@@ -45,19 +48,14 @@ def bench_banded(T: int):
     v = jax.random.normal(jax.random.PRNGKey(2), shape)
 
     def builder(attn_fn):
-        def build(reps):
-            @jax.jit
-            def run(q, k, v):
-                def body(carry, _):
-                    out = attn_fn(carry, k, v)
-                    return out, out[0, 0, 0, 0]
+        # Data-carry chain: the attention output feeds the next iteration's
+        # queries (the body draws no randomness, so a key alone would let
+        # XLA hoist the work as loop-invariant).
+        def body(carry, key, k, v):
+            out = attn_fn(carry, k, v)
+            return out, out[0, 0, 0, 0]
 
-                _, outs = jax.lax.scan(body, q, None, length=reps)
-                return outs.sum()
-
-            return lambda: run(q, k, v)
-
-        return build
+        return scan_chain_builder(body, (k, v), carry=q)
 
     xla = builder(
         lambda q, k, v: sdpa(q, k, v, local_attention_mask(T, WINDOW)[None, None])
@@ -76,7 +74,10 @@ def bench_fused(T_mel: int, num_steps: int = 4):
     from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
     from edge_diffusion_tts_tpu.ops.fused_denoise import fused_generate_mel
     from edge_diffusion_tts_tpu.schedule import DiffusionSchedule, ddim_sample
-    from edge_diffusion_tts_tpu.utils.speed import fit_device_ms
+    from edge_diffusion_tts_tpu.utils.speed import (
+        fit_device_ms,
+        scan_chain_builder,
+    )
 
     cfg = CFG()
     decoder = EdgeDiffusionDecoder(cfg, use_pallas=False)
@@ -85,46 +86,30 @@ def bench_fused(T_mel: int, num_steps: int = 4):
     S = T_mel // 2
     sem_idx = jnp.zeros((1, S), jnp.int32)
 
-    def xla_builder(reps):
-        @jax.jit
-        def run(params, rng):
-            def body(key, _):
-                k_next, k_noise = jax.random.split(key)
-                x_T = jax.random.normal(k_noise, (1, T_mel, cfg.n_mels))
+    def xla_body(key, params):
+        x_T = jax.random.normal(key, (1, T_mel, cfg.n_mels))
 
-                def model_fn(x, t, si):
-                    return decoder.apply(
-                        {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
-                    )
+        def model_fn(x, t, si):
+            return decoder.apply(
+                {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
+            )
 
-                x0 = ddim_sample(
-                    schedule, model_fn, x_T, num_steps, prediction="eps"
-                )
-                return k_next, x0[0, 0, 0]
+        return ddim_sample(
+            schedule, model_fn, x_T, num_steps, prediction="eps"
+        )[0, 0, 0]
 
-            _, outs = jax.lax.scan(body, rng, None, length=reps)
-            return outs.sum()
+    def fused_body(key, params):
+        x_T = jax.random.normal(key, (1, T_mel, cfg.n_mels))
+        return fused_generate_mel(
+            cfg, schedule, params, sem_idx, x_T, num_steps, "eps"
+        )[0, 0, 0]
 
-        return lambda: run(params, jax.random.PRNGKey(3))
-
-    def fused_builder(reps):
-        @jax.jit
-        def run(params, rng):
-            def body(key, _):
-                k_next, k_noise = jax.random.split(key)
-                x_T = jax.random.normal(k_noise, (1, T_mel, cfg.n_mels))
-                x0 = fused_generate_mel(
-                    cfg, schedule, params, sem_idx, x_T, num_steps, "eps"
-                )
-                return k_next, x0[0, 0, 0]
-
-            _, outs = jax.lax.scan(body, rng, None, length=reps)
-            return outs.sum()
-
-        return lambda: run(params, jax.random.PRNGKey(3))
-
-    ms_x = fit_device_ms(xla_builder, reps=(10, 80), runs=4)["device_ms"]
-    ms_f = fit_device_ms(fused_builder, reps=(10, 80), runs=4)["device_ms"]
+    ms_x = fit_device_ms(
+        scan_chain_builder(xla_body, (params,)), reps=(10, 80), runs=4
+    )["device_ms"]
+    ms_f = fit_device_ms(
+        scan_chain_builder(fused_body, (params,)), reps=(10, 80), runs=4
+    )["device_ms"]
     return ms_x, ms_f
 
 

@@ -123,6 +123,13 @@ class CFG:
     use_adaln: bool = True
     dropout: float = 0.2
     attn_window_size: int = 64
+    # Positional-table capacities.  Reference hard-codes 1000 mel frames /
+    # 512 context tokens (decoder.py:38-41) — those are the parity defaults;
+    # raise them for long-sequence configs (a mel length at/above
+    # pallas_min_seq_len needs max_mel_positions >= that length for the
+    # banded Pallas kernel to actually engage in the decoder).
+    max_mel_positions: int = 1000
+    max_ctx_positions: int = 512
 
     # ===== DIFFUSION SCHEDULE =====
     diff_steps: int = 1000

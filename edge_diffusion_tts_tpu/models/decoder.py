@@ -79,13 +79,17 @@ class EdgeDiffusionDecoder(nn.Module):
             )(sem_idx)
         else:
             raise ValueError("either sem_idx or sem_features must be provided")
-        context = SinusoidalPositionalEmb(H, max_len=512, name="context_pos_emb")(
+        context = SinusoidalPositionalEmb(
+            H, max_len=cfg.max_ctx_positions, name="context_pos_emb"
+        )(
             context
         )
 
         # 3. Mel projection + positional encoding
         h = nn.Dense(H, dtype=self.dtype, name="in_proj")(x_t.astype(self.dtype))
-        h = SinusoidalPositionalEmb(H, max_len=1000, name="pos_emb")(h)
+        h = SinusoidalPositionalEmb(
+            H, max_len=cfg.max_mel_positions, name="pos_emb"
+        )(h)
 
         # 4. Transformer backbone
         if self.use_pallas is None:

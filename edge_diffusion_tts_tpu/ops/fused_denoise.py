@@ -398,7 +398,7 @@ def _prep_static(cfg: CFG, p: dict, sem_idx: jnp.ndarray, T: int, Tp: int,
     S = sem_idx.shape[1]
 
     tok = jnp.take(p["token_emb"]["embedding"], sem_idx, axis=0)  # [B, S, H]
-    ctx = tok + sinusoidal_position_table(512, H)[:S][None]
+    ctx = tok + sinusoidal_position_table(cfg.max_ctx_positions, H)[:S][None]
     ctx = jnp.pad(ctx, ((0, 0), (0, Sp - S), (0, 0)))
 
     n2w, qh, ap, ab_b = [], [], [], []
@@ -457,7 +457,8 @@ def _prep_static(cfg: CFG, p: dict, sem_idx: jnp.ndarray, T: int, Tp: int,
     row = lambda v: v[None, :]
     return {
         "pos": jnp.pad(
-            sinusoidal_position_table(1000, H)[:T], ((0, Tp - T), (0, 0))
+            sinusoidal_position_table(cfg.max_mel_positions, H)[:T],
+            ((0, Tp - T), (0, 0)),
         ),
         "in_w": p["in_proj"]["kernel"],
         "in_b": row(p["in_proj"]["bias"]),

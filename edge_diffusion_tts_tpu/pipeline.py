@@ -197,9 +197,10 @@ class LongFormPipeline:
         Follows the reference main loop (inference_pipeline.py:296-403):
         per-chunk ground-truth mel stats for denormalization, triangular
         crossfade, average-pool smoothing, Griffin-Lim.  Implemented by
-        draining ``generate_streaming`` — one chunk loop for both modes;
-        the offline-vs-streaming equality is guarded by
-        tests/test_pipeline.py::test_generate_streaming_matches_offline.
+        draining ``generate_streaming`` — ONE chunk loop serves both modes.
+        The shared overlap-add/finalization logic is checked against an
+        independent oracle (model patched out) in
+        tests/test_pipeline.py::test_streaming_overlap_add_oracle.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         wav = np.asarray(wav, np.float32).reshape(1, -1)

@@ -315,14 +315,22 @@ def train(
         hooks = (hooks or []) + [_periodic_ckpt]
 
     # Mid-epoch eval cadence: every val_every_steps, epsilon-MSE on up to
-    # val_batches validation batches; best checkpoint on that eval loss
-    # (reference: train.py:190-199 -> best_diffusion.pt via
-    # utils/visualization.py:18-44).
-    if cfg.val_every_steps > 0 and val_loader is not None:
+    # val_batches validation batches; best checkpoint on that eval loss.
+    # Diffusion phase ONLY, like the reference (train.py:190-199 ->
+    # best_diffusion.pt): later phases optimize different objectives and
+    # must not overwrite the best pure-diffusion checkpoint.
+    # val_batches=0 means "no validation" (same convention as
+    # _maybe_validate), so the hook is disabled too.
+    diffusion_hooks = hooks
+    if (
+        cfg.val_every_steps > 0
+        and cfg.val_batches > 0
+        and val_loader is not None
+    ):
         eval_eps = trainer.make_eval_eps_fn()
         eval_batches = []
         for i, b in enumerate(val_loader):
-            if i >= max(cfg.val_batches, 1):
+            if i >= cfg.val_batches:
                 break
             eval_batches.append({k: jnp.asarray(v) for k, v in b.items()})
         best_eval = [float("inf")]
@@ -347,7 +355,7 @@ def train(
                     {"val_eps_mse": mean, "step": step},
                 )
 
-        hooks = (hooks or []) + [_mid_epoch_eval]
+        diffusion_hooks = (hooks or []) + [_mid_epoch_eval]
 
     def _maybe_validate(state: TrainState, tag: str):
         nonlocal best_val_cos, rng
@@ -386,7 +394,7 @@ def train(
             t0 = time.time()
             state, metrics = _run_epoch(
                 step_fn, state, train_loader, sub, writer,
-                cfg.log_every_steps, hooks, prefix="train/",
+                cfg.log_every_steps, diffusion_hooks, prefix="train/",
                 nan_guard=nan_guard, put_batch=put_batch,
             )
             print(

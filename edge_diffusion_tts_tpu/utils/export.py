@@ -123,8 +123,11 @@ def export_tflite(
 def load_tflite(path: str):
     """Load a TFLite decoder; returns ``run(x_t, t, sem_idx, step_idx)``.
 
-    Pure-TF consumption path (no JAX): tf.lite.Interpreter with inputs fed
-    in export order.
+    Pure-TF consumption path (no JAX): tf.lite.Interpreter with inputs
+    bound BY NAME against the export signature — interpreter input order is
+    a converter implementation detail, and ``t``/``step_idx`` share shape
+    and dtype so an order swap would be silent.  Falls back to export order
+    only if the converter mangled every name beyond recognition.
     """
     import numpy as np
     import tensorflow as tf
@@ -134,6 +137,21 @@ def load_tflite(path: str):
     inputs = interp.get_input_details()
     output = interp.get_output_details()[0]
 
+    def _bind(named_vals):
+        by_name = {}
+        for detail in inputs:
+            # Converter names look like "serving_default_x_t:0" or "x_t".
+            base = detail["name"].split(":")[0]
+            for want in named_vals:
+                if base == want or base.endswith("_" + want):
+                    by_name[want] = detail
+                    break
+        if len(by_name) == len(named_vals):
+            return [by_name[k] for k in named_vals]
+        return inputs  # name matching failed: fall back to export order
+
+    names = ("x_t", "t", "sem_idx", "step_idx")
+
     def run(x_t, t, sem_idx, step_idx):
         vals = [
             np.asarray(x_t, np.float32),
@@ -141,7 +159,7 @@ def load_tflite(path: str):
             np.asarray(sem_idx, np.int32),
             np.asarray(step_idx, np.int32),
         ]
-        for detail, val in zip(inputs, vals):
+        for detail, val in zip(_bind(names), vals):
             interp.set_tensor(detail["index"], val)
         interp.invoke()
         return interp.get_tensor(output["index"])

@@ -74,6 +74,47 @@ def benchmark(
     }
 
 
+def scan_chain_builder(body: Callable, args: tuple = (), carry=None):
+    """Build the ``chain_builder`` for :func:`fit_device_ms` from one body.
+
+    The measurement pattern shared by every bench script: ``reps``
+    sequentially-dependent iterations inside ONE jitted program (so the
+    tunnel's fixed dispatch cost amortizes), each iteration keyed by a
+    fresh PRNG split (so XLA cannot hoist the work as loop-invariant), all
+    ``args`` passed as jit ARGUMENTS (large param trees must not become
+    HLO constants), and the per-iteration scalars summed so the final
+    fetch — the completion barrier — is 4 bytes.
+
+    Two body shapes:
+      ``body(key, *args) -> scalar``                       (carry=None)
+      ``body(carry, key, *args) -> (carry, scalar)``       (explicit data
+        carry, e.g. feeding an op's output back as its next input when the
+        body itself draws no randomness)
+    """
+    import jax.numpy as jnp
+
+    def build(reps: int):
+        @jax.jit
+        def run(rng, c0, *a):
+            def step(st, _):
+                key, c = st
+                k_next, k_body = jax.random.split(key)
+                if carry is None:
+                    s = body(k_body, *a)
+                    c_next = c
+                else:
+                    c_next, s = body(c, k_body, *a)
+                return (k_next, c_next), jnp.asarray(s, jnp.float32)
+
+            _, outs = jax.lax.scan(step, (rng, c0), None, length=reps)
+            return outs.sum()
+
+        c0 = carry if carry is not None else jnp.zeros(())
+        return lambda: run(jax.random.PRNGKey(3), c0, *args)
+
+    return build
+
+
 def fit_device_ms(
     chain_builder: Callable,
     args: tuple = (),

@@ -95,3 +95,84 @@ def test_generate_end_to_end(tiny_pipeline):
     assert mel.shape == (cfg.n_mels, total_frames)
     assert np.isfinite(mel).all()
     assert out_wav is not None and np.isfinite(out_wav).all()
+
+
+def test_streaming_overlap_add_oracle(tiny_pipeline, monkeypatch):
+    """The chunk-assembly logic (slicing, triangular crossfade, overlap-add,
+    finalization boundaries, weight renormalization) checked against an
+    INDEPENDENT numpy oracle with the diffusion model patched out — a real
+    guard now that generate() is implemented by draining
+    generate_streaming()."""
+    from edge_diffusion_tts_tpu.utils.audio import (
+        denormalize_mel,
+        normalize_mel,
+    )
+
+    cfg, pipe = tiny_pipeline
+    secs = 1.1
+    wav = 0.2 * np.sin(
+        2 * np.pi * 250 * np.arange(int(secs * cfg.sample_rate))
+        / cfg.sample_rate
+    ).astype(np.float32)
+
+    def fake_refine(x_coarse, z_chunk, prev_tail, **kw):
+        # Deterministic, chunk-distinguishable stand-in for the model:
+        # a linear ramp over frames offset by the chunk's z slice sum
+        # (so chunks differ and window blending is actually exercised).
+        ramp = jnp.linspace(-1.0, 1.0, x_coarse.shape[1])[None, :, None]
+        return jnp.broadcast_to(
+            ramp, x_coarse.shape
+        ) + 0.01 * jnp.sum(z_chunk)
+
+    monkeypatch.setattr(pipe, "refine_chunk", fake_refine)
+
+    chunks = list(
+        pipe.generate_streaming(wav, steps=1, rng=jax.random.PRNGKey(0))
+    )
+    streamed = np.concatenate([seg for seg, _ in chunks], axis=1)
+
+    # ---- independent oracle -------------------------------------------------
+    w = wav.reshape(1, -1)
+    total = w.shape[1]
+    total_frames = total // cfg.hop_length + 1
+    num_chunks = max(
+        1, int(np.ceil((total - pipe.overlap_samples) / pipe.hop_samples))
+    )
+    assert num_chunks >= 3, "test wav must span several chunks"
+    cf, fade = pipe.chunk_frames, pipe.overlap_frames
+    window = np.ones((1, cf), np.float32)
+    window[0, :fade] = np.linspace(0, 1, fade)
+    window[0, -fade:] = np.linspace(1, 0, fade)
+
+    z_global = pipe.encode_global(jnp.asarray(w))
+    sem_per_chunk = pipe.chunk_samples // 320
+    acc = np.zeros((cfg.n_mels, total_frames + cf), np.float32)
+    wsum = np.zeros((1, total_frames + cf), np.float32)
+    for i in range(num_chunks):
+        s0 = i * pipe.hop_samples
+        chunk = w[:, s0 : s0 + pipe.chunk_samples]
+        if chunk.shape[1] < pipe.chunk_samples:
+            chunk = np.pad(
+                chunk, ((0, 0), (0, pipe.chunk_samples - chunk.shape[1]))
+            )
+        lat0 = s0 // 320
+        z_chunk = z_global[:, lat0 : lat0 + sem_per_chunk, :]
+        if z_chunk.shape[1] < sem_per_chunk:
+            z_chunk = jnp.pad(
+                z_chunk,
+                ((0, 0), (0, sem_per_chunk - z_chunk.shape[1]), (0, 0)),
+            )
+        x_ref = fake_refine(
+            jnp.zeros((1, cf, cfg.n_mels), jnp.float32), z_chunk, None
+        )
+        _, mean, std = normalize_mel(pipe.mel_frontend(jnp.asarray(chunk)))
+        lin = np.asarray(jnp.exp(denormalize_mel(x_ref, mean, std)))[0].T
+        f0 = i * pipe.hop_frames
+        acc[:, f0 : f0 + cf] += lin * window
+        wsum[:, f0 : f0 + cf] += window
+    expected = acc[:, :total_frames] / np.clip(
+        wsum[:, :total_frames], 1e-5, None
+    )
+
+    assert streamed.shape == expected.shape == (cfg.n_mels, total_frames)
+    np.testing.assert_allclose(streamed, expected, atol=1e-5)

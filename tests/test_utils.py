@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -104,3 +105,33 @@ def test_fit_device_ms_recovers_slope():
     # Spread >= 50 ms guarantees the +-1-quantum snap error stays < ~25%.
     assert abs(fit["device_ms"] - d_true) / d_true < 0.3, fit
     assert fit["wall_hi_ms"] - fit["wall_lo_ms"] >= 50.0
+
+
+def test_scan_chain_builder_modes():
+    """scan_chain_builder: keyed mode runs reps bodies with distinct keys;
+    carry mode threads data through and sums the per-iteration scalars."""
+    import jax
+    import jax.numpy as jnp
+
+    from edge_diffusion_tts_tpu.utils.speed import scan_chain_builder
+
+    # Keyed mode: distinct keys per iteration -> sum of reps draws; a
+    # single draw repeated would give reps * draw(key0) instead.
+    seen = scan_chain_builder(lambda key: jax.random.normal(key, ()))
+    r4 = float(seen(4)())
+    r1 = float(seen(1)())
+    assert r4 != pytest.approx(4 * r1)
+
+    # Carry mode: body(c, key) = (c+1, c) -> sum(0..reps-1), exactly.
+    def body(c, key):
+        return c + 1.0, c
+
+    chain = scan_chain_builder(body, carry=jnp.zeros(()))
+    assert float(chain(5)()) == pytest.approx(10.0)
+
+    # Args are threaded through as jit arguments.
+    def body2(key, scale):
+        return scale * 2.0
+
+    chain2 = scan_chain_builder(body2, (jnp.float32(3.0),))
+    assert float(chain2(4)()) == pytest.approx(24.0)

@@ -86,3 +86,28 @@ def test_decoder_auto_selects_pallas_by_seq_len():
     np.testing.assert_allclose(
         np.asarray(out_pallas), np.asarray(out_xla), atol=2e-5
     )
+
+
+def test_decoder_long_sequence_via_raised_position_caps():
+    """The default positional tables cap T at 1000 mel frames / 512 context
+    tokens (reference parity) — below the measured Pallas crossover of 3000.
+    Raising cfg.max_mel_positions / max_ctx_positions must let the decoder
+    accept such lengths (otherwise the crossover auto-select could never
+    engage in the decoder)."""
+    from edge_diffusion_tts_tpu.config import CFG
+    from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
+    from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
+
+    T = 1200
+    cfg = CFG(hidden=16, layers=1, heads=2, dropout=0.0, attn_window_size=8,
+              max_mel_positions=2048, max_ctx_positions=1024,
+              use_flash_attn=False)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, T, cfg.n_mels))
+    out = dec.apply(
+        params, x, jnp.zeros((1,), jnp.int32),
+        sem_idx=jnp.zeros((1, T // 2), jnp.int32),
+    )
+    assert out.shape == (1, T, cfg.n_mels)
+    assert np.isfinite(np.asarray(out)).all()
