@@ -57,14 +57,17 @@ class SemanticEncoder(nn.Module):
                 cfg.semantic_dim, cfg.codebook_size, commit=cfg.vq_commit
             )
 
-    def extract_hubert(self, wav_16k: jnp.ndarray) -> jnp.ndarray:
+    def extract_hubert(
+        self, wav_16k: jnp.ndarray, conv_feats=None
+    ) -> jnp.ndarray:
         """Frozen HuBERT hidden layer (cfg.hubert_layer, default 9).
 
         Clamped to the encoder depth so reduced test configs
-        (HubertConfig.tiny) take their last layer.
+        (HubertConfig.tiny) take their last layer.  ``conv_feats`` bypasses
+        the conv frontend (ops/fused_frontend.py fast path).
         """
         layer = min(self.cfg.hubert_layer, self.hubert_cfg.num_layers)
-        h = self.hubert.extract_layer(wav_16k, layer)
+        h = self.hubert.extract_layer(wav_16k, layer, conv_feats=conv_feats)
         return jax.lax.stop_gradient(h)
 
     def _project(self, h: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -97,9 +100,11 @@ class SemanticEncoder(nn.Module):
             return self.vq(z)
         return self.vq(z, train=train)
 
-    def encode(self, wav_16k: jnp.ndarray) -> jnp.ndarray:
+    def encode(
+        self, wav_16k: jnp.ndarray, conv_feats=None
+    ) -> jnp.ndarray:
         """wav -> discrete token indices [B, S]."""
-        h = self.extract_hubert(wav_16k)
+        h = self.extract_hubert(wav_16k, conv_feats=conv_feats)
         z = self._project(h, deterministic=True)
         return self.vq.encode(z)
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -173,10 +173,24 @@ class HubertEncoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, wav: jnp.ndarray, output_hidden_states: bool = True
+        self,
+        wav: jnp.ndarray,
+        output_hidden_states: bool = True,
+        conv_feats: Optional[jnp.ndarray] = None,
     ) -> List[jnp.ndarray]:
+        """``conv_feats`` bypasses the conv feature extractor with
+        precomputed features (e.g. ops/fused_frontend.py's fused Pallas
+        kernel); init always takes the in-module path so the extractor's
+        params exist either way."""
         c = self.cfg
-        feats = _FeatureExtractor(c, dtype=self.dtype, name="feature_extractor")(wav)
+        if conv_feats is None or self.is_initializing():
+            feats = _FeatureExtractor(
+                c, dtype=self.dtype, name="feature_extractor"
+            )(wav)
+            if conv_feats is not None:
+                feats = conv_feats
+        else:
+            feats = conv_feats
 
         # Feature projection: LN -> Linear(conv_dim[-1] -> hidden)
         h = nn.LayerNorm(
@@ -198,9 +212,14 @@ class HubertEncoder(nn.Module):
             return hidden_states
         return [h]
 
-    def extract_layer(self, wav: jnp.ndarray, layer: int) -> jnp.ndarray:
+    def extract_layer(
+        self, wav: jnp.ndarray, layer: int,
+        conv_feats: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         """Hidden state at HF index ``layer`` (9 = standard semantic layer)."""
-        return self(wav, output_hidden_states=True)[layer]
+        return self(
+            wav, output_hidden_states=True, conv_feats=conv_feats
+        )[layer]
 
 
 # ---------------------------------------------------------------------------

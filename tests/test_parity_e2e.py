@@ -97,7 +97,8 @@ def test_ddim_generate_parity(setup, num_steps):
     np.testing.assert_allclose(ours, ref_mel, atol=5e-4, rtol=1e-3)
 
 
-def test_dpm_solver_generate_parity(setup):
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_dpm_solver_generate_parity(setup, order):
     torch, ref_dec, ref_sched, dec, params, sched, cfg = setup
     import jax.numpy as jnp
 
@@ -111,7 +112,7 @@ def test_dpm_solver_generate_parity(setup):
     x_T = rng.randn(B, S * 2, cfg.n_mels).astype(np.float32)
     feats = rng.randn(B, S, cfg.semantic_dim).astype(np.float32)
 
-    ref_solver = RefSolver(ref_sched, order=2)
+    ref_solver = RefSolver(ref_sched, order=order)
     with torch.no_grad():
         ref_out = ref_solver.sample(
             ref_dec,
@@ -121,7 +122,7 @@ def test_dpm_solver_generate_parity(setup):
             max_t=950,
         ).numpy()
 
-    solver = DPMSolverPP(sched, order=2)
+    solver = DPMSolverPP(sched, order=order)
 
     def model_fn(x, t, step_idx):
         return dec.apply(
