@@ -9,6 +9,7 @@ from .mel import (
     stft_complex,
     stft_power,
 )
+from .fused_frontend import fast_encode, fused_conv_frontend
 from .fused_denoise import (
     FusedEdgeInference,
     fused_ddpm_sample,
@@ -22,6 +23,8 @@ __all__ = [
     "FusedEdgeInference",
     "MelFrontend",
     "banded_attention",
+    "fast_encode",
+    "fused_conv_frontend",
     "fused_ddpm_sample",
     "fused_generate_mel",
     "griffin_lim",
