@@ -184,13 +184,12 @@ class HubertEncoder(nn.Module):
         params exist either way."""
         c = self.cfg
         if conv_feats is None or self.is_initializing():
-            feats = _FeatureExtractor(
+            # Called during init even when bypassed, purely to bind the
+            # extractor's params so both apply paths share one tree.
+            extracted = _FeatureExtractor(
                 c, dtype=self.dtype, name="feature_extractor"
             )(wav)
-            if conv_feats is not None:
-                feats = conv_feats
-        else:
-            feats = conv_feats
+        feats = conv_feats if conv_feats is not None else extracted
 
         # Feature projection: LN -> Linear(conv_dim[-1] -> hidden)
         h = nn.LayerNorm(

@@ -248,7 +248,14 @@ def fast_encode(encoder, enc_vars: dict, wav: jnp.ndarray,
                 interpret: Optional[bool] = None,
                 compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """SemanticEncoder.encode with the conv frontend routed through the
-    fused kernel (wav -> token indices).  Inference fast path."""
+    fused kernel (wav -> token indices).
+
+    WARNING: the default bf16 compute flips ~4% of FSQ token indices vs
+    ``encoder.encode`` (measured on v5e; bf16 conv outputs land on the
+    other side of some quantizer boundaries).  Pass
+    ``compute_dtype=jnp.float32`` for exact token parity — and note the
+    fused kernel is SLOWER than the XLA path at batch 32 anyway (module
+    docstring), so this exists for experimentation, not as a default."""
     fe_params = enc_vars["params"]["hubert"]["feature_extractor"]
     feats = fused_conv_frontend(
         encoder.hubert_cfg, fe_params, wav, interpret=interpret,

@@ -39,7 +39,7 @@ def test_fused_frontend_matches_flax(fe_setup):
 
 
 def test_fused_frontend_multi_tile(fe_setup):
-    """A 2 s segment spans two F_TILE=50 tiles; boundary frames must match."""
+    """A 2 s segment spans two F_TILE=56 tiles; boundary frames must match."""
     hc, fe, params, _ = fe_setup
     wav = 0.2 * jax.random.normal(jax.random.PRNGKey(2), (1, 32000))
     oracle = fe.apply({"params": params}, wav)
