@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="static mel length (tflite only)")
     ex.add_argument("--s-tokens", type=int, default=100,
                     help="static context length (tflite only)")
+    ex.add_argument("--quantize", choices=["dynamic", "int8"], default="",
+                    help="post-training quantization (tflite only)")
 
     mg = sub.add_parser(
         "migrate", help="convert a PyTorch-reference .pt checkpoint"
@@ -186,6 +188,7 @@ def main(argv=None):
             export_tflite(
                 cfg, decoder, params["decoder"], out,
                 t_frames=args.t_frames, s_tokens=args.s_tokens,
+                quantize=args.quantize,
             )
         else:
             from .utils.export import export_for_edge

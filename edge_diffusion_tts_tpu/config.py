@@ -165,6 +165,8 @@ class CFG:
 
     # ===== TPU / PARALLELISM =====
     compute_dtype: str = "float32"  # "bfloat16" runs module matmuls in bf16
+    # "bfloat16" stores/optimizes the param tree in bf16 (init_models casts
+    # after init; halves checkpoint + Adam-moment memory).
     param_dtype: str = "float32"
     mesh_shape: Optional[List[int]] = None  # (data, model); None = all-data
     mesh_axis_names: List[str] = field(default_factory=lambda: ["data", "model"])

@@ -306,6 +306,95 @@ class LongFormPipeline:
                 yield seg, emitted
                 emitted = final_upto
 
+    def generate_streaming_audio(
+        self,
+        wav: np.ndarray,
+        strength: float = 0.6,
+        steps: int = 50,
+        cfg_scale: float = 2.0,
+        rng=None,
+        context_seconds: float = 0.5,
+        crossfade_samples: int = 320,
+        griffin_lim_iters: int = 50,
+    ):
+        """Streaming WAVEFORM generation: yields (wav_increment, sample_offset).
+
+        Completes the live-serving story the reference never built (it only
+        vocodes whole utterances offline, inference_pipeline.py:394-403):
+        each finalized linear-mel increment from ``generate_streaming`` is
+        vocoded inside a sliding window that carries ``context_seconds`` of
+        already-final mel to its left, and consecutive emissions are blended
+        over ``crossfade_samples`` waveform samples held back from the
+        previous window.  Increment offsets are contiguous:
+        ``offset[k+1] == offset[k] + len(chunk[k])``.
+
+        Why this is NOT sample-exact vs the offline path: Griffin-Lim phase
+        is the fixed point of a GLOBAL iterative projection (and depends on
+        its random init), so any chunked scheme renders different phase than
+        a whole-utterance pass.  Equivalence is therefore held where it is
+        well-defined — in mel space: re-analysis of the streamed waveform
+        tracks the generated mel as closely as the offline waveform's does
+        (tests/test_pipeline.py::test_streaming_audio_mel_equivalence).
+
+        RNG contract matches ``generate``: the stream consumes ``rng`` and
+        the vocoder keys derive from ``fold_in(rng, 1)``, so the mel content
+        is identical to ``generate(wav, rng=rng)``.
+        """
+        cfg = self.cfg
+        hop = cfg.hop_length
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        wav_in = np.asarray(wav, np.float32).reshape(1, -1)
+        total = wav_in.shape[1]
+        k_gl = jax.random.fold_in(rng, 1)
+        ctx_frames = max(
+            int(context_seconds * cfg.sample_rate) // hop,
+            crossfade_samples // hop + 2,
+        )
+
+        hist = np.zeros((cfg.n_mels, 0), np.float32)
+        out_pos = 0
+        tail = np.zeros((0,), np.float32)  # held-back crossfade samples
+
+        def render(F: int):
+            """Vocode the window of mel history ending at frame F."""
+            w0 = max(0, F - (self.hop_frames + ctx_frames))
+            wav_win = self.vocode(
+                hist[:, w0:F],
+                jax.random.fold_in(k_gl, w0),
+                n_iter=griffin_lim_iters,
+            )
+            return w0 * hop, np.asarray(wav_win)
+
+        it = self.generate_streaming(
+            wav_in, strength=strength, steps=steps, cfg_scale=cfg_scale,
+            rng=rng,
+        )
+        cur = next(it, None)
+        while cur is not None:
+            nxt = next(it, None)
+            is_last = nxt is None
+            seg, _ = cur
+            hist = np.concatenate([hist, seg.astype(np.float32)], axis=1)
+            base, wav_win = render(hist.shape[1])
+            avail_end = base + wav_win.shape[0]
+            target_end = (
+                min(total, avail_end) if is_last
+                else avail_end - crossfade_samples
+            )
+            if target_end > out_pos:
+                chunk = wav_win[out_pos - base : target_end - base].copy()
+                n = min(tail.shape[0], chunk.shape[0])
+                if n > 0:
+                    ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
+                    chunk[:n] = tail[:n] * (1.0 - ramp) + chunk[:n] * ramp
+                yield chunk, out_pos
+                tail = wav_win[
+                    target_end - base
+                    : min(target_end + crossfade_samples, avail_end) - base
+                ].copy()
+                out_pos = target_end
+            cur = nxt
+
     def vocode(
         self, linear_mel: np.ndarray, rng, n_iter: int = 100
     ) -> np.ndarray:

@@ -81,6 +81,17 @@ def init_models(
     dec_vars = init_decoder_params(decoder, k_dec, cfg)
 
     params = {"encoder": enc_params, "decoder": dec_vars["params"]}
+    # cfg.param_dtype governs the dtype the parameter tree is STORED and
+    # optimized in (flax modules promote to compute_dtype at apply time, so
+    # bf16 params + f32 compute is valid).  bf16 halves checkpoint size and
+    # optimizer-moment memory at reduced update precision.
+    if cfg.param_dtype == "bfloat16":
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating)
+            else p,
+            params,
+        )
     vq_state = (
         {"encoder": enc_vars["vq_state"]} if "vq_state" in enc_vars else {}
     )
@@ -221,6 +232,27 @@ def train(
     trainer = Trainer(cfg, encoder, decoder, schedule, tx)
     state = create_train_state(cfg, params, vq_state, tx)
 
+    def _enter_distillation():
+        """Drop the LR to cfg.lr_consistency for the distillation phases.
+
+        Reference: train.py:224-225 mutates optimizer.param_groups to
+        cfg.lr_consistency right before the progressive loop; the same LR then
+        carries through consistency training.  We swap trainer.tx for a
+        constant-LR optimizer BEFORE the phase-2/3 step functions are traced
+        (they read trainer.tx at build time, incl. the shard_map variants).
+        The optimizer STATE carries over unchanged, like the reference (same
+        optimizer object there): optax schedules are pure functions of the
+        update count, so the opt_state trees are structurally identical
+        across the swap and Adam moments / MultiSteps accumulators survive.
+        """
+        import optax
+
+        trainer.tx = make_optimizer(
+            cfg,
+            total_steps,
+            learning_rate=optax.constant_schedule(cfg.lr_consistency),
+        )
+
     # -- optional data-parallel mesh (cfg.mesh_shape) ------------------------
     # When a mesh is configured with >1 devices, every phase step runs as a
     # shard_map data-parallel program: batches shard over the "data" axis,
@@ -261,6 +293,7 @@ def train(
         return trainer.make_diffusion_step()
 
     def build_progressive_step(target_steps: int):
+        _enter_distillation()
         if mesh is not None:
             return make_dp_progressive_step(
                 trainer, mesh, target_steps, exact=cfg.progressive_exact
@@ -270,6 +303,7 @@ def train(
         )
 
     def build_consistency_step():
+        _enter_distillation()
         if mesh is not None:
             return make_dp_consistency_step(
                 trainer, mesh, exact=cfg.consistency_exact,

@@ -77,6 +77,8 @@ def export_tflite(
     batch: int = 1,
     t_frames: int = 200,
     s_tokens: int = 100,
+    quantize: str = "",
+    representative_batches=None,
 ) -> str:
     """Serialize the decoder forward as a TFLite flatbuffer; returns the path.
 
@@ -84,6 +86,22 @@ def export_tflite(
     step_idx [B] i32) -> prediction [B,T,n_mels] f32, mirroring the
     reference ONNX signature (utils/export.py:25-37).  TFLite requires
     static shapes; export one flatbuffer per deployment shape.
+
+    ``quantize`` enables post-training quantization — beyond the reference's
+    fp32-only ONNX edge story (utils/export.py:12-40):
+      - "dynamic": int8 weights, float activations (dynamic-range; no
+        calibration data needed; ~4x smaller flatbuffer);
+      - "int8": full integer where calibrated, float fallback elsewhere;
+        calibrates on ``representative_batches`` (iterable of
+        (x_t, t, sem_idx, step_idx) tuples) or a synthetic default matched
+        to the denoise-loop input distribution (unit-gaussian x_t, uniform
+        timesteps, uniform codebook indices).  KNOWN ISSUE: the converted
+        hybrid model aborts a stock TF 2.19 interpreter at invoke (TFLite
+        kernel bug, reproduced with and without the XNNPACK delegate) —
+        "dynamic" is the supported mode; coverage and accuracy are pinned
+        in QUANT_r03.json (tools/quant_report.py).
+    The float interface is kept in both modes so the same interpreter
+    harness (``load_tflite``) drives float and quantized artifacts.
     """
     import tensorflow as tf
     from jax.experimental import jax2tf
@@ -112,12 +130,62 @@ def export_tflite(
         tf.lite.OpsSet.TFLITE_BUILTINS,
         tf.lite.OpsSet.SELECT_TF_OPS,
     ]
+    if quantize:
+        import numpy as np
+
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        if quantize == "int8":
+            if representative_batches is None:
+                representative_batches = synthetic_representative_batches(
+                    cfg, batch, t_frames, s_tokens
+                )
+
+            def _rep():
+                for ex in representative_batches:
+                    yield [
+                        np.asarray(ex[0], np.float32),
+                        np.asarray(ex[1], np.int32),
+                        np.asarray(ex[2], np.int32),
+                        np.asarray(ex[3], np.int32),
+                    ]
+
+            converter.representative_dataset = _rep
+        elif quantize != "dynamic":
+            raise ValueError(
+                f"quantize must be '', 'dynamic' or 'int8', got {quantize!r}"
+            )
     blob = converter.convert()
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(blob)
     print(f"Exported decoder ({len(blob) / 1e6:.2f} MB TFLite) -> {out_path}")
     return out_path
+
+
+def synthetic_representative_batches(
+    cfg: CFG, batch: int, t_frames: int, s_tokens: int, n: int = 16, seed: int = 0
+):
+    """Calibration batches matched to the denoise-loop input distribution.
+
+    x_t is unit-gaussian (the DDIM loop keeps x_t approximately standard
+    normal in normalized-mel space at every t), timesteps uniform over the
+    schedule, sem_idx uniform over the effective codebook.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    codes = cfg.effective_codebook_size()
+    out = []
+    for i in range(n):
+        out.append(
+            (
+                rs.randn(batch, t_frames, cfg.n_mels).astype(np.float32),
+                rs.randint(0, cfg.diff_steps, (batch,)).astype(np.int32),
+                rs.randint(0, codes, (batch, s_tokens)).astype(np.int32),
+                np.full((batch,), i % 4, np.int32),
+            )
+        )
+    return out
 
 
 def load_tflite(path: str):

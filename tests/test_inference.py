@@ -147,3 +147,53 @@ def test_cli_parser():
     a = p.parse_args(["export", "/ckpt", "--format", "tflite",
                       "--t-frames", "120"])
     assert a.format == "tflite" and a.t_frames == 120
+
+
+def test_export_tflite_quantized(tiny_inference, tmp_path):
+    """Post-training dynamic-range quantization: the quantized flatbuffer is
+    materially smaller than the float one, loads on a stock interpreter,
+    and its forward tracks the JAX float forward (beyond the reference's
+    fp32-only ONNX edge story)."""
+    pytest.importorskip("tensorflow")
+    cfg, decoder, params, _ = tiny_inference
+    from edge_diffusion_tts_tpu.utils.export import export_tflite, load_tflite
+
+    B, T, S = 1, 20, 10
+    f32_path = str(tmp_path / "decoder_f32.tflite")
+    q_path = str(tmp_path / "decoder_q8.tflite")
+    export_tflite(cfg, decoder, params, f32_path, batch=B, t_frames=T,
+                  s_tokens=S)
+    export_tflite(cfg, decoder, params, q_path, batch=B, t_frames=T,
+                  s_tokens=S, quantize="dynamic")
+    f32_size = os.path.getsize(f32_path)
+    q_size = os.path.getsize(q_path)
+    # At tiny scale the flatbuffer is mostly op metadata and fewer weights
+    # pattern-match the converter's quantization passes, so assert a
+    # meaningful-but-conservative SAVING here; the flagship-scale coverage
+    # (60% of param bytes reclaimed, 1.95x smaller) is pinned in
+    # QUANT_r03.json via tools/quant_report.py.
+    param_bytes = sum(
+        int(np.prod(p.shape)) * 4 for p in jax.tree.leaves(params)
+    )
+    assert f32_size - q_size > 0.1 * param_bytes, (
+        f32_size, q_size, param_bytes
+    )
+
+    run = load_tflite(q_path)
+    x = np.random.RandomState(0).randn(B, T, cfg.n_mels).astype(np.float32)
+    t = np.full((B,), 10, np.int32)
+    sem = np.zeros((B, S), np.int32)
+    si = np.zeros((B,), np.int32)
+    out = run(x, t, sem, si)
+    ref = np.asarray(
+        decoder.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(t),
+            sem_idx=jnp.asarray(sem), step_idx=jnp.asarray(si),
+        )
+    )
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    # int8 weights: outputs track the float forward within quantization
+    # error; scale the tolerance to the output spread.
+    tol = 0.1 * max(float(np.abs(ref).max()), 1e-3)
+    assert float(np.abs(out - ref).mean()) < tol

@@ -176,3 +176,49 @@ def test_streaming_overlap_add_oracle(tiny_pipeline, monkeypatch):
 
     assert streamed.shape == expected.shape == (cfg.n_mels, total_frames)
     np.testing.assert_allclose(streamed, expected, atol=1e-5)
+
+
+def test_streaming_audio_mel_equivalence(tiny_pipeline):
+    """generate_streaming_audio yields contiguous waveform increments whose
+    concatenation tracks the generated mel as closely as the offline
+    waveform does.  Sample-exactness vs offline is impossible (Griffin-Lim
+    phase is a global fixed point — see the method docstring), so the
+    equivalence is held in mel space."""
+    cfg, pipe = tiny_pipeline
+    secs = 1.2
+    rng = jax.random.PRNGKey(7)
+    t = np.arange(int(secs * cfg.sample_rate)) / cfg.sample_rate
+    wav = (0.2 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+
+    mel_lin, offline_wav = pipe.generate(
+        wav, steps=2, strength=0.3, cfg_scale=1.0, rng=rng, vocode=True,
+        griffin_lim_iters=8,
+    )
+    chunks = list(
+        pipe.generate_streaming_audio(
+            wav, steps=2, strength=0.3, cfg_scale=1.0, rng=rng,
+            griffin_lim_iters=8,
+        )
+    )
+    assert len(chunks) >= 2, "expected multiple waveform increments"
+    # Contiguous offsets starting at zero.
+    assert chunks[0][1] == 0
+    for (c1, o1), (c2, o2) in zip(chunks, chunks[1:]):
+        assert o2 == o1 + c1.shape[0]
+    stream = np.concatenate([c for c, _ in chunks])
+    assert np.isfinite(stream).all()
+    assert abs(stream.shape[0] - offline_wav.shape[0]) <= cfg.hop_length
+
+    # Mel-space equivalence: re-analysis error to the generated mel must be
+    # in the same ballpark for streamed and offline renders.
+    target_log = np.log(np.clip(mel_lin, 1e-5, None))  # [n_mels, T]
+    L = min(stream.shape[0], offline_wav.shape[0])
+
+    def reanalysis_err(w):
+        m = np.asarray(pipe.mel_frontend(jnp.asarray(w[None, :L])))[0].T
+        T = min(m.shape[1], target_log.shape[1])
+        return float(np.abs(m[:, :T] - target_log[:, :T]).mean())
+
+    err_stream = reanalysis_err(stream)
+    err_offline = reanalysis_err(np.asarray(offline_wav))
+    assert err_stream < 1.5 * err_offline + 0.1, (err_stream, err_offline)

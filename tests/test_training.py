@@ -413,3 +413,77 @@ def test_train_driver_smoke(tmp_path):
     assert os.path.isdir(os.path.join(run_dir, "checkpoint_phase2"))
     assert os.path.isdir(os.path.join(run_dir, "edge_model_final"))
     assert os.path.isfile(os.path.join(run_dir, "metrics.jsonl"))
+
+
+def test_lr_consistency_wired(tmp_path):
+    """Distillation phases step at cfg.lr_consistency (reference
+    train.py:224-225 drops the optimizer LR before the progressive loop).
+    With lr_consistency=0.0 the progressive phase must leave the decoder
+    untouched; with a real LR it must move it."""
+    from edge_diffusion_tts_tpu.training import train
+
+    loader = [
+        {
+            "wav": 0.1
+            * np.random.RandomState(0).randn(2, 32000).astype(np.float32)[:, :960]
+        }
+    ]
+
+    def run(lr_c, phases, sub):
+        cfg = tiny_cfg(
+            diff_steps=8, max_timestep=7, out_dir=str(tmp_path / sub),
+            ckpt_every_steps=0, val_batches=0, plot_every_steps=0,
+            lr_consistency=lr_c,
+        )
+        batch = [{"wav": loader[0]["wav"][:, : cfg.segment_len]}]
+        return train(cfg, train_loader=batch, val_loader=None,
+                     hubert_cfg=HubertConfig.tiny(), phases=phases)
+
+    init_state = run(0.0, [], "init")
+    frozen = run(0.0, ["progressive"], "frozen")
+    for a, b in zip(
+        jax.tree.leaves(init_state.params["decoder"]),
+        jax.tree.leaves(frozen.params["decoder"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    moved = run(1e-3, ["progressive"], "moved")
+    deltas = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(init_state.params["decoder"]),
+            jax.tree.leaves(moved.params["decoder"]),
+        )
+    ]
+    assert max(deltas) > 0.0, "progressive phase at lr_consistency>0 must train"
+
+
+def test_param_dtype_bf16():
+    """cfg.param_dtype='bfloat16' stores and optimizes the param tree in bf16
+    (flax promotes to compute_dtype at apply time) and a train step runs."""
+    cfg = tiny_cfg(param_dtype="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    encoder, decoder, params, vq_state = init_models(
+        cfg, rng, hubert_cfg=HubertConfig.tiny()
+    )
+    for leaf in jax.tree.leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    tx = make_optimizer(cfg, total_steps=10)
+    trainer = Trainer(cfg, encoder, decoder, schedule, tx)
+    state = create_train_state(cfg, params, vq_state, tx)
+    batch = {
+        "wav": jnp.asarray(
+            np.random.RandomState(0)
+            .randn(cfg.batch_size, cfg.segment_len)
+            .astype(np.float32)
+            * 0.1
+        )
+    }
+    step = trainer.make_diffusion_step()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain bf16 after the update
+    dec_leaf = jax.tree.leaves(state.params["decoder"])[0]
+    assert dec_leaf.dtype == jnp.bfloat16
