@@ -5,6 +5,12 @@
   3. 1000-step DDPM ancestral sampling
   4. batched 32-utterance encode (HuBERT+FSQ) + 4-step decode
   5. training step throughput (diffusion phase, batch 32)
+  6. 4-step DPM-Solver++ order-2 generation (the validation / v2-serving
+     sampler; reference train_v2.py:166-206)
+  7. long-form 40 s single-chunk generation (configs/longform.json):
+     mel T=4000 engages the banded Pallas attention kernel via the
+     cfg.pallas_min_seq_len routing; reported against the same program
+     with the kernel forced off (XLA masked SDPA)
 
 Plus two headline variants (pass --variants): bf16 module compute and the
 fused-Pallas single-launch backend (ops/fused_denoise.py).
@@ -176,6 +182,76 @@ def main():
         {"metric": "train_step_b32", "value": round(ms, 2), "unit": "ms",
          "vs_baseline": None,
          "utt_per_sec": round(32 / (ms / 1e3), 1)}
+    )
+
+    # 6. 4-step DPM-Solver++ order-2 — the sampler validation uses and the
+    #    v2 recipe serves (reference train_v2.py:166-206).  Same utterance
+    #    and fit methodology as the headline so the lines are comparable.
+    from edge_diffusion_tts_tpu.schedule import DPMSolverPP
+
+    solver = DPMSolverPP(schedule, order=2)
+    sem_idx_d = jnp.zeros((1, S), jnp.int32)
+
+    def dpmpp_body(key, params):
+        x_T = jax.random.normal(key, (1, S * 2, cfg.n_mels))
+
+        def model_fn(x, t, si):
+            return decoder.apply(
+                {"params": params}, x, t, sem_idx=sem_idx_d, step_idx=si
+            )
+
+        return solver.sample(model_fn, x_T, num_steps=4,
+                             max_t=cfg.max_timestep)[0, 0, 0]
+
+    ms = fit_device_ms(
+        scan_chain_builder(dpmpp_body, (params,)), reps=(10, 80)
+    )["device_ms"]
+    emit(
+        {"metric": "4step_dpmpp2_5s", "value": round(ms, 3), "unit": "ms",
+         "vs_baseline": round(50.0 / ms, 2)}
+    )
+
+    # 7. long-form 40 s utterance in ONE program (configs/longform.json:
+    #    max_mel_positions=4096).  At mel T=4000 the decoder's cfg routing
+    #    engages the banded Pallas kernel (pallas_min_seq_len=3000,
+    #    PALLAS_CROSSOVER_r02.jsonl); `speedup_vs_xla` re-times the identical
+    #    program with the kernel forced off.  Positional tables are fixed
+    #    sinusoids, so the flagship params apply unchanged.
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "configs", "longform.json")) as f:
+        lf_cfg = CFG.from_json(f.read())
+    S_LONG = int(40.0 * 50)  # 40 s -> 2000 semantic tokens -> mel T=4000
+    dec_lf = EdgeDiffusionDecoder(lf_cfg)                    # cfg routing
+    dec_lf_xla = EdgeDiffusionDecoder(lf_cfg, use_pallas=False)
+    sem_idx_lf = jnp.zeros((1, S_LONG), jnp.int32)
+
+    def longform_body(dec):
+        def body(key, params):
+            x_T = jax.random.normal(key, (1, S_LONG * 2, lf_cfg.n_mels))
+
+            def model_fn(x, t, si):
+                return dec.apply(
+                    {"params": params}, x, t, sem_idx=sem_idx_lf, step_idx=si
+                )
+
+            x0 = ddim_sample(schedule, model_fn, x_T, 4)
+            return x0[0, 0, 0]
+
+        return scan_chain_builder(body, (params,))
+
+    ms_pl = fit_device_ms(longform_body(dec_lf), reps=(2, 8), runs=4)[
+        "device_ms"
+    ]
+    ms_xla = fit_device_ms(longform_body(dec_lf_xla), reps=(2, 8), runs=4)[
+        "device_ms"
+    ]
+    emit(
+        {"metric": "4step_ddim_40s_longform", "value": round(ms_pl, 2),
+         "unit": "ms", "vs_baseline": None,
+         "xla_ms": round(ms_xla, 2),
+         "speedup_vs_xla": round(ms_xla / ms_pl, 2)}
     )
 
     if "--variants" not in sys.argv:

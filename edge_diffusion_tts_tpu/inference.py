@@ -131,11 +131,12 @@ class EdgeInference:
     def generate_from_audio(
         self,
         wav: jnp.ndarray,
-        num_steps: int = 4,
+        num_steps: Optional[int] = None,
         rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         """Reference wav [T] or [B, T] -> generated normalized log-mel.
 
+        ``num_steps`` defaults to cfg.inference_steps, same as generate_mel.
         Reference: inference.py:56-62 (encode to tokens, then generate_mel).
         The HuBERT+quantizer encode runs as a cached jitted program (one
         compile per wav shape) — for the batched 32-utterance config the

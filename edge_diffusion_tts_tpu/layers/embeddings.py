@@ -12,6 +12,7 @@ import math
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -73,14 +74,22 @@ def sinusoidal_position_table(max_len: int, dim: int) -> jnp.ndarray:
 
 
 class SinusoidalPositionalEmb(nn.Module):
-    """Adds a fixed interleaved sin/cos table to the input sequence."""
+    """Adds a fixed interleaved sin/cos table to the input sequence.
+
+    ``offset`` (python int or traced scalar) shifts the table window so a
+    sequence SHARD sees its global positions — used by the sequence-parallel
+    long-form path (parallel/sequence_parallel.py)."""
 
     dim: int
     max_len: int = 5000
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, offset=0) -> jnp.ndarray:
         table = sinusoidal_position_table(self.max_len, self.dim)
-        return x + table[None, : x.shape[1], :].astype(x.dtype)
+        if isinstance(offset, int) and offset == 0:
+            sl = table[: x.shape[1]]
+        else:
+            sl = jax.lax.dynamic_slice_in_dim(table, offset, x.shape[1], 0)
+        return x + sl[None].astype(x.dtype)
 
 
 class LearnedPositionalEmb(nn.Module):

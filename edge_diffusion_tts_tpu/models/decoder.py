@@ -48,6 +48,7 @@ class EdgeDiffusionDecoder(nn.Module):
         step_idx: Optional[jnp.ndarray] = None,
         sem_features: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        pos_offset=0,
     ) -> jnp.ndarray:
         cfg = self.cfg
         H = cfg.hidden
@@ -86,10 +87,13 @@ class EdgeDiffusionDecoder(nn.Module):
         )
 
         # 3. Mel projection + positional encoding
+        # ``pos_offset`` shifts the mel positional window: a sequence shard
+        # processing global frames [pos_offset, pos_offset + T) sees its true
+        # positions (parallel/sequence_parallel.py).
         h = nn.Dense(H, dtype=self.dtype, name="in_proj")(x_t.astype(self.dtype))
         h = SinusoidalPositionalEmb(
             H, max_len=cfg.max_mel_positions, name="pos_emb"
-        )(h)
+        )(h, offset=pos_offset)
 
         # 4. Transformer backbone
         if self.use_pallas is None:

@@ -15,6 +15,10 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .sequence_parallel import (
+    make_seq_parallel_generate,
+    seq_parallel_generate,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -25,7 +29,9 @@ __all__ = [
     "make_dp_generate",
     "make_dp_progressive_step",
     "make_mesh",
+    "make_seq_parallel_generate",
     "replicate",
+    "seq_parallel_generate",
     "replicated",
     "shard_batch",
 ]

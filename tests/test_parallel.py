@@ -315,3 +315,41 @@ def test_checkpoint_restore_under_mesh(tmp_path):
             if "train/loss" in row:
                 losses.append(row["train/loss"])
     assert np.isfinite(losses).all()
+
+
+def test_seq_parallel_generate_matches_single_device():
+    """Sequence-parallel long-form generation is EXACT: sharding the mel time
+    axis over 8 devices with margin M = layers*window reproduces the
+    single-device ddim_sample bitwise-close (the decoder's mel receptive
+    field is finite — see parallel/sequence_parallel.py)."""
+    from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
+    from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
+    from edge_diffusion_tts_tpu.parallel.sequence_parallel import (
+        make_seq_parallel_generate,
+        seq_margin,
+    )
+    from edge_diffusion_tts_tpu.schedule import ddim_sample
+
+    cfg = CFG(hidden=32, layers=2, heads=2, dropout=0.0, attn_window_size=4,
+              diff_steps=50, max_timestep=48, use_flash_attn=False,
+              max_mel_positions=2048, max_ctx_positions=1024)
+    n = 8
+    T = 256                                   # T/n=32 >= 2*M=16 per shard
+    assert T // n >= 2 * seq_margin(cfg)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, jax.random.PRNGKey(0), cfg)["params"]
+    sem = jax.random.randint(jax.random.PRNGKey(1), (1, T // 2), 0,
+                             cfg.effective_codebook_size())
+    x_T = jax.random.normal(jax.random.PRNGKey(2), (1, T, cfg.n_mels))
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+
+    def model_fn(x, t, si):
+        return dec.apply({"params": params}, x, t, sem_idx=sem, step_idx=si)
+
+    ref = ddim_sample(schedule, model_fn, x_T, 4)
+
+    mesh = make_mesh((n, 1))
+    fn = make_seq_parallel_generate(cfg, dec, schedule, mesh, num_steps=4)
+    out = fn(params, sem, x_T)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

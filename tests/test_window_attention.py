@@ -111,3 +111,34 @@ def test_decoder_long_sequence_via_raised_position_caps():
     )
     assert out.shape == (1, T, cfg.n_mels)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_longform_config_engages_pallas_end_to_end():
+    """configs/longform.json is the SHIPPED long-utterance config: at its
+    40 s working shape (mel T=4000 >= pallas_min_seq_len=3000) the flagship
+    decoder's cfg routing must lower to the banded Pallas kernel, and the
+    default 5 s shape must not (bench_all.py config 7 measures the win)."""
+    import os
+
+    from edge_diffusion_tts_tpu.config import CFG
+    from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
+    from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "longform.json")
+    with open(path) as f:
+        cfg = CFG.from_json(f.read())
+    assert cfg.max_mel_positions >= 4000
+    assert cfg.pallas_min_seq_len <= 4000
+    dec = EdgeDiffusionDecoder(cfg)  # use_pallas=None -> cfg routing
+    params = init_decoder_params(dec, jax.random.PRNGKey(0), cfg)
+
+    def traced(T):
+        x = jnp.zeros((1, T, cfg.n_mels))
+        t = jnp.zeros((1,), jnp.int32)
+        sem = jnp.zeros((1, T // 2), jnp.int32)
+        return str(jax.make_jaxpr(
+            lambda: dec.apply(params, x, t, sem_idx=sem))())
+
+    assert "pallas_call" in traced(4000)   # the 40 s bench shape
+    assert "pallas_call" not in traced(500)  # the 5 s headline shape
