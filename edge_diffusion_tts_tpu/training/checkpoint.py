@@ -26,11 +26,38 @@ _CFG_FILE = "cfg.json"
 _META_FILE = "meta.json"
 
 
+def _substitute_hubert(params: Any, frozen_host: Any) -> Any:
+    """Shallow-copy ``params`` with the frozen HuBERT subtree replaced by
+    ``frozen_host`` (host numpy).  Never mutates the input tree."""
+    enc = dict(params["encoder"])
+    enc["hubert"] = frozen_host
+    out = dict(params)
+    out["encoder"] = enc
+    return out
+
+
 def save_checkpoint(
-    path: str, state: TrainState, cfg: CFG, meta: Optional[dict] = None
+    path: str,
+    state: TrainState,
+    cfg: CFG,
+    meta: Optional[dict] = None,
+    frozen_host: Optional[Any] = None,
 ):
-    """Save the full train state + cfg (+ free-form meta) at ``path``."""
+    """Save the full train state + cfg (+ free-form meta) at ``path``.
+
+    ``frozen_host``: host-resident copy of the frozen HuBERT parameter
+    subtree (``state.params["encoder"]["hubert"]``).  When given, it is
+    written in place of the device copy, so the save skips the ~380 MB
+    device→host fetch of bit-identical frozen weights — through the TPU
+    tunnel (~50 MB/s D2H) that turns an ~8-minute save into ~1 s.  The
+    on-disk format is unchanged; the subtree is frozen by construction
+    (state.make_optimizer masks it out), so values are identical.
+    """
     path = os.path.abspath(path)
+    if frozen_host is not None and "hubert" in state.params.get("encoder", {}):
+        state = state.replace(
+            params=_substitute_hubert(state.params, frozen_host)
+        )
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.join(path, "state"), state, force=True)
     with open(os.path.join(path, _CFG_FILE), "w") as f:
@@ -78,12 +105,17 @@ def restore_checkpoint(
     return state, cfg, meta
 
 
-def save_final_model(path: str, params: Any, cfg: CFG):
+def save_final_model(
+    path: str, params: Any, cfg: CFG, frozen_host: Optional[Any] = None
+):
     """Inference-only artifact: {encoder, decoder} params + cfg.
 
     Equivalent of edge_model_final.pt (reference: train.py:291-297).
+    ``frozen_host`` as in :func:`save_checkpoint`.
     """
     path = os.path.abspath(path)
+    if frozen_host is not None and "hubert" in params.get("encoder", {}):
+        params = _substitute_hubert(params, frozen_host)
     ocp.PyTreeCheckpointer().save(os.path.join(path, "params"), params, force=True)
     with open(os.path.join(path, _CFG_FILE), "w") as f:
         f.write(cfg.to_json())

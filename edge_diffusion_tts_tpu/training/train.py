@@ -328,6 +328,22 @@ def train(
     if mesh is not None:
         state = replicate(state, mesh)
 
+    # Frozen-HuBERT host cache for checkpointing: the subtree never trains
+    # (make_optimizer masks it), so every save would fetch the same ~380 MB
+    # device->host.  Fetch it once — lazily, from the state being saved at
+    # the FIRST save (the jitted steps donate their input state, so earlier
+    # buffers are deleted) — and substitute the host copy into every save
+    # (see checkpoint.save_checkpoint).
+    _frozen_cache: List = []
+
+    def _frozen_host(st: TrainState):
+        if not _frozen_cache:
+            enc = st.params.get("encoder", {})
+            _frozen_cache.append(
+                jax.device_get(enc["hubert"]) if "hubert" in enc else None
+            )
+        return _frozen_cache[0]
+
     from ..utils.reliability import make_nan_guard
 
     validate = trainer.make_validate_fn(num_steps=cfg.inference_steps)
@@ -344,7 +360,8 @@ def train(
     if cfg.ckpt_every_steps > 0:
         def _periodic_ckpt(step: int, st: TrainState):
             if step % cfg.ckpt_every_steps == 0:
-                save_checkpoint(cfg.ckpt_path, st, cfg, {"step": step})
+                save_checkpoint(cfg.ckpt_path, st, cfg, {"step": step},
+                                frozen_host=_frozen_host(st))
 
         hooks = (hooks or []) + [_periodic_ckpt]
 
@@ -387,6 +404,7 @@ def train(
                 save_checkpoint(
                     os.path.join(run_dir, "best_diffusion"), st, cfg,
                     {"val_eps_mse": mean, "step": step},
+                    frozen_host=_frozen_host(st),
                 )
 
         diffusion_hooks = (hooks or []) + [_mid_epoch_eval]
@@ -417,6 +435,7 @@ def train(
             save_checkpoint(
                 os.path.join(run_dir, "best_model"), state, cfg,
                 {"val_cos": best_val_cos, "phase": tag},
+                frozen_host=_frozen_host(state),
             )
 
     # ---- Phase 1: diffusion ------------------------------------------------
@@ -438,7 +457,7 @@ def train(
             )
             _maybe_validate(state, "diffusion")
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase1"), state, cfg,
-                        {"phase": "diffusion"})
+                        {"phase": "diffusion"}, frozen_host=_frozen_host(state))
 
     # ---- Phase 2: progressive distillation ---------------------------------
     if "progressive" in phases:
@@ -462,7 +481,7 @@ def train(
             )
             _maybe_validate(state, f"prog{target_steps}")
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase2"), state, cfg,
-                        {"phase": "progressive"})
+                        {"phase": "progressive"}, frozen_host=_frozen_host(state))
 
     # ---- Phase 3: consistency ----------------------------------------------
     if "consistency" in phases:
@@ -483,9 +502,10 @@ def train(
             )
             _maybe_validate(state, "consistency")
 
-    save_final_model(os.path.join(run_dir, "edge_model_final"), state.params, cfg)
+    save_final_model(os.path.join(run_dir, "edge_model_final"), state.params,
+                     cfg, frozen_host=_frozen_host(state))
     save_checkpoint(os.path.join(run_dir, "checkpoint_final"), state, cfg,
-                    {"phase": "final"})
+                    {"phase": "final"}, frozen_host=_frozen_host(state))
     if export:
         from ..utils.export import export_for_edge
 

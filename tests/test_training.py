@@ -193,6 +193,28 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_frozen_host_substitution(setup, tmp_path):
+    """save_checkpoint(frozen_host=...) writes the host copy of the frozen
+    HuBERT subtree in place of the device copy (skipping the big D2H fetch)
+    without changing the on-disk format, values, or the caller's state."""
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state)
+    frozen_host = jax.device_get(state.params["encoder"]["hubert"])
+    path = os.path.join(str(tmp_path), "ckpt_frozen")
+    save_checkpoint(path, state, cfg, {"note": "frozen"},
+                    frozen_host=frozen_host)
+    # Caller's tree untouched (substitution must shallow-copy, not mutate).
+    assert not isinstance(
+        jax.tree.leaves(state.params["encoder"]["hubert"])[0], np.ndarray
+    )
+    restored, _, meta = restore_checkpoint(path, state)
+    assert meta["note"] == "frozen"
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_teacher_arity_mismatch(setup, tmp_path):
     """Regression: a checkpoint saved WITH an EMA teacher (mid-distillation)
     must restore into a fresh teacher-less template, and vice versa."""

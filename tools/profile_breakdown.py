@@ -39,6 +39,10 @@ B = 32
 EPS = 1e-5
 
 
+class _SkipTrace(Exception):
+    """Internal: --sections excludes the trace."""
+
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -90,7 +94,11 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/jaxprof_r03")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU plumbing check (not a measurement)")
+    ap.add_argument("--sections", default="encode,train,trace",
+                    help="comma subset of encode,train,trace; results merge "
+                         "into an existing --out artifact")
     args = ap.parse_args()
+    sections = set(args.sections.split(","))
 
     global B
     if args.smoke:
@@ -140,7 +148,9 @@ def main():
     wavs = jax.random.normal(jax.random.PRNGKey(4), (B, cfg.segment_len)) * 0.1
 
     # ---- A. encode pipeline components, f32 and bf16 -----------------------
-    for tag, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    for tag, dt in (
+        ("f32", jnp.float32), ("bf16", jnp.bfloat16)
+    ) if "encode" in sections else ():
         fe = _FeatureExtractor(hcfg, dtype=dt)
         hub = HubertEncoder(hcfg, dtype=dt)
         enc_t = SemanticEncoder(cfg, hcfg, dtype=dt)
@@ -217,55 +227,70 @@ def main():
         measure(f"pos_conv_{tag}", pos_body, (hub_params, h768))
 
     # ---- B. train step decomposition (b32, diffusion phase) ----------------
-    from edge_diffusion_tts_tpu.schedule import DiffusionSchedule
-    from edge_diffusion_tts_tpu.training import (
-        Trainer, create_train_state, make_optimizer,
-    )
-    from edge_diffusion_tts_tpu.training.train import init_models
-
-    tcfg = CFG(batch_size=B, grad_accumulation=1)
-    enc2, dec2, p2, vq2 = init_models(tcfg, jax.random.PRNGKey(0))
-    schedule = DiffusionSchedule.create(tcfg.diff_steps)
-    tx = make_optimizer(tcfg, total_steps=1000)
-    trainer = Trainer(tcfg, enc2, dec2, schedule, tx)
-    state = create_train_state(tcfg, p2, vq2, tx)
-    loss_fn = trainer.make_diffusion_loss()
-    batch = {"wav": wavs}
-
-    def fwd_body(key, params, vq_state, b):
-        loss, _ = loss_fn(params, vq_state, b, key)
-        return loss
-
-    measure("train_loss_forward", fwd_body, (state.params, state.vq_state,
-                                             batch), reps=(5, 40))
-
-    def fwd_bwd_body(key, params, vq_state, b):
-        grads, _ = jax.grad(loss_fn, has_aux=True)(params, vq_state, b, key)
-        return grads["decoder"]["in_proj"]["bias"][0]
-
-    measure("train_fwd_bwd", fwd_bwd_body, (state.params, state.vq_state,
-                                            batch), reps=(5, 40))
-
-    # Full step via the actual step math inlined (no donation inside scan);
-    # carry = the TrainState so consecutive iterations are truly dependent.
-    def _full_step(st, key, b):
-        grads, (nvq, metrics) = jax.grad(loss_fn, has_aux=True)(
-            st.params, st.vq_state, b, key
+    # Every body perturbs the batch wav with key-dependent noise: with a
+    # constant batch, XLA hoists the whole (frozen-param) HuBERT encode out
+    # of the timing chain as loop-invariant and the fit measures only the
+    # key-dependent remainder (first run of this script: "full step" 5.98 ms
+    # vs the honest 18.6 ms in BENCH_all — a 3x underestimate).
+    if "train" in sections:
+        from edge_diffusion_tts_tpu.schedule import DiffusionSchedule
+        from edge_diffusion_tts_tpu.training import (
+            Trainer, create_train_state, make_optimizer,
         )
-        updates, nopt = trainer.tx.update(grads, st.opt_state, st.params)
-        nparams = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), st.params, updates
-        )
-        st = st.replace(step=st.step + 1, params=nparams, vq_state=nvq,
-                        opt_state=nopt)
-        return st, metrics["loss"]
+        from edge_diffusion_tts_tpu.training.train import init_models
 
-    measure("train_full_step", _full_step, (batch,), reps=(5, 40),
-            carry=state)
+        tcfg = CFG(batch_size=B, grad_accumulation=1)
+        enc2, dec2, p2, vq2 = init_models(tcfg, jax.random.PRNGKey(0))
+        schedule = DiffusionSchedule.create(tcfg.diff_steps)
+        tx = make_optimizer(tcfg, total_steps=1000)
+        trainer = Trainer(tcfg, enc2, dec2, schedule, tx)
+        state = create_train_state(tcfg, p2, vq2, tx)
+        loss_fn = trainer.make_diffusion_loss()
+        batch = {"wav": wavs}
+
+        def _perturbed(key, b):
+            return {"wav": b["wav"] + 1e-6 * jax.random.normal(
+                key, b["wav"].shape)}
+
+        def fwd_body(key, params, vq_state, b):
+            loss, _ = loss_fn(params, vq_state, _perturbed(key, b), key)
+            return loss
+
+        measure("train_loss_forward", fwd_body,
+                (state.params, state.vq_state, batch), reps=(5, 40))
+
+        def fwd_bwd_body(key, params, vq_state, b):
+            grads, _ = jax.grad(loss_fn, has_aux=True)(
+                params, vq_state, _perturbed(key, b), key
+            )
+            return grads["decoder"]["in_proj"]["bias"][0]
+
+        measure("train_fwd_bwd", fwd_bwd_body,
+                (state.params, state.vq_state, batch), reps=(5, 40))
+
+        # Full step via the actual step math inlined (no donation inside
+        # scan); carry = the TrainState so iterations are truly dependent.
+        def _full_step(st, key, b):
+            grads, (nvq, metrics) = jax.grad(loss_fn, has_aux=True)(
+                st.params, st.vq_state, _perturbed(key, b), key
+            )
+            updates, nopt = trainer.tx.update(grads, st.opt_state, st.params)
+            nparams = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype), st.params, updates
+            )
+            st = st.replace(step=st.step + 1, params=nparams, vq_state=nvq,
+                            opt_state=nopt)
+            return st, metrics["loss"]
+
+        measure("train_full_step", _full_step, (batch,), reps=(5, 40),
+                carry=state)
 
     # ---- C. jax.profiler trace attempt -------------------------------------
-    trace = {"status": "not_attempted"}
+    trace = {"status": "skipped" if "trace" not in sections
+             else "not_attempted"}
     try:
+        if "trace" not in sections:
+            raise _SkipTrace()
         enc_fn = jax.jit(
             lambda ev, w: SemanticEncoder(cfg, hcfg).apply(
                 ev, w, method=SemanticEncoder.encode
@@ -305,9 +330,22 @@ def main():
             "device_total_us": round(device_total, 1),
             "top_ops_us": {k: round(v, 1) for k, v in top},
         }
+    except _SkipTrace:
+        pass
     except Exception as e:  # tunnel may not support profiling
         trace = {"status": f"unsupported: {type(e).__name__}: {e}"[:300]}
     print("trace:", trace.get("status"), flush=True)
+
+    # Partial runs (--sections) merge into an existing artifact.
+    prior = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+    merged = dict(prior.get("components_ms", {}))
+    merged.update(results)
+    results = merged
+    if trace["status"] == "skipped" and "profiler_trace" in prior:
+        trace = prior["profiler_trace"]
 
     artifact = {
         "meta": {
