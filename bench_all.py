@@ -184,6 +184,31 @@ def main():
          "utt_per_sec": round(32 / (ms / 1e3), 1)}
     )
 
+    # 5b. training step with precomputed HuBERT features — the reference's
+    #     dataset_precomputed.py path ("~10-20x faster training" claim),
+    #     here data/precomputed.py: the batch carries cached [B, S, 768]
+    #     features and _encode skips the frozen 95M forward, which
+    #     PROFILE_r03.json shows is ~10 ms of the ~17 ms step.
+    from edge_diffusion_tts_tpu.config import hubert_num_frames
+
+    nf = hubert_num_frames(tcfg.segment_len)
+    pre_batch = dict(batch)
+    pre_batch["hubert_features"] = jax.random.normal(
+        jax.random.PRNGKey(8), (32, nf, 768)) * 0.1
+    state_p = create_train_state(tcfg, p2, vq2, tx)
+    state_p, m = step(state_p, pre_batch, jax.random.PRNGKey(9))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(N):
+        state_p, m = step(state_p, pre_batch, jax.random.PRNGKey(10 + i))
+    float(m["loss"])  # fetch = completion barrier
+    ms = (time.perf_counter() - t0) * 1e3 / N
+    emit(
+        {"metric": "train_step_b32_precomputed", "value": round(ms, 2),
+         "unit": "ms", "vs_baseline": None,
+         "utt_per_sec": round(32 / (ms / 1e3), 1)}
+    )
+
     # 6. 4-step DPM-Solver++ order-2 — the sampler validation uses and the
     #    v2 recipe serves (reference train_v2.py:166-206).  Same utterance
     #    and fit methodology as the headline so the lines are comparable.

@@ -28,8 +28,42 @@ from ..layers import (
 MAX_STEP_EMB = 16  # few-step stage embedding table size (decoder.py:32)
 
 
+def backbone_block(cfg: CFG, dtype, use_pallas: Optional[bool] = None):
+    """The decoder's transformer block with routing resolved like __call__.
+
+    Standalone so the pipeline-parallel path can apply ONE block to a
+    lax.scan-stacked params shard (parallel/pipeline_parallel.py) with
+    exactly the decoder's hyperparameters.
+    """
+    if use_pallas is None:
+        up, pms = cfg.use_flash_attn, cfg.pallas_min_seq_len
+    else:
+        up, pms = use_pallas, 0
+    return DiffusionTransformerBlock(
+        dim=cfg.hidden,
+        context_dim=cfg.hidden,
+        cond_dim=cfg.hidden,
+        heads=cfg.heads,
+        ffn_mult=cfg.ffn_mult,
+        dropout=cfg.dropout,
+        use_adaln=cfg.use_adaln,
+        window_size=cfg.attn_window_size,
+        dtype=dtype,
+        use_pallas=up,
+        pallas_min_seq=pms,
+    )
+
+
 class EdgeDiffusionDecoder(nn.Module):
-    """Edge-optimized diffusion decoder (~650K params at 160H/4L/4heads)."""
+    """Edge-optimized diffusion decoder (~650K params at 160H/4L/4heads).
+
+    setup-style with the forward split into ``prelude`` (embeddings/
+    conditioning) -> ``backbone`` (transformer blocks) -> ``postlude``
+    (norm + zero-init head) so the pipeline-parallel trainer can stage the
+    backbone across devices while reusing the exact pre/post computations
+    (all submodule names match the original compact layout — checkpoints
+    and ported reference weights are unaffected).
+    """
 
     cfg: CFG
     dtype: jnp.dtype = jnp.float32
@@ -39,7 +73,90 @@ class EdgeDiffusionDecoder(nn.Module):
     # True/False force the route unconditionally (tests, benchmarks).
     use_pallas: Optional[bool] = None
 
-    @nn.compact
+    def setup(self):
+        cfg, H = self.cfg, self.cfg.hidden
+        self.time_fc1 = nn.Dense(H, dtype=self.dtype)
+        self.time_fc2 = nn.Dense(H, dtype=self.dtype)
+        self.step_emb = nn.Embed(MAX_STEP_EMB, H, dtype=self.dtype)
+        self.sem_proj = nn.Dense(H, dtype=self.dtype)
+        self.token_emb = nn.Embed(
+            cfg.effective_codebook_size(), H, dtype=self.dtype
+        )
+        self.context_pos_emb = SinusoidalPositionalEmb(
+            H, max_len=cfg.max_ctx_positions
+        )
+        self.in_proj = nn.Dense(H, dtype=self.dtype)
+        self.pos_emb = SinusoidalPositionalEmb(H, max_len=cfg.max_mel_positions)
+        # flax names list entries "layers_<i>" — same tree as the old loop.
+        self.layers = [
+            backbone_block(cfg, self.dtype, self.use_pallas)
+            for _ in range(cfg.layers)
+        ]
+        self.final_norm = nn.LayerNorm(dtype=self.dtype)
+        self.out_proj = nn.Dense(
+            cfg.n_mels,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+
+    def prelude(
+        self,
+        x_t: jnp.ndarray,
+        t: jnp.ndarray,
+        sem_idx: Optional[jnp.ndarray] = None,
+        step_idx: Optional[jnp.ndarray] = None,
+        sem_features: Optional[jnp.ndarray] = None,
+        pos_offset=0,
+    ):
+        """Embeddings + conditioning: ``(h0, context, t_cond)``."""
+        # 1. Timestep conditioning: sinusoid -> Dense -> GELU -> Dense
+        t_cond = sinusoidal_time_embedding(t, self.cfg.hidden).astype(self.dtype)
+        t_cond = self.time_fc2(nn.gelu(self.time_fc1(t_cond), approximate=False))
+
+        if step_idx is not None:
+            # Clamp to the table: the reference's Embedding(16) hard-crashes
+            # when progressive distillation passes step indices up to
+            # num_steps-1 (consistency.py:55 with num_steps=500); in flax an
+            # out-of-bounds Embed gather fills NaN. Indices >= 16 share the
+            # last row — step conditioning only matters at small step counts.
+            t_cond = t_cond + self.step_emb(
+                jnp.clip(step_idx, 0, MAX_STEP_EMB - 1)
+            )
+
+        # 2. Semantic context: continuous features (training / STE gradient
+        #    path) or discrete token indices (inference path).
+        if sem_features is not None:
+            context = self.sem_proj(sem_features)
+        elif sem_idx is not None:
+            context = self.token_emb(sem_idx)
+        else:
+            raise ValueError("either sem_idx or sem_features must be provided")
+        context = self.context_pos_emb(context)
+
+        # 3. Mel projection + positional encoding
+        # ``pos_offset`` shifts the mel positional window: a sequence shard
+        # processing global frames [pos_offset, pos_offset + T) sees its true
+        # positions (parallel/sequence_parallel.py).
+        h = self.in_proj(x_t.astype(self.dtype))
+        h = self.pos_emb(h, offset=pos_offset)
+        return h, context, t_cond
+
+    def backbone(
+        self,
+        h: jnp.ndarray,
+        context: jnp.ndarray,
+        t_cond: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        for block in self.layers:
+            h = block(h, context=context, cond=t_cond, deterministic=deterministic)
+        return h
+
+    def postlude(self, h: jnp.ndarray) -> jnp.ndarray:
+        """LayerNorm + zero-init output head (prediction starts at zero)."""
+        return self.out_proj(self.final_norm(h)).astype(jnp.float32)
+
     def __call__(
         self,
         x_t: jnp.ndarray,
@@ -50,84 +167,12 @@ class EdgeDiffusionDecoder(nn.Module):
         deterministic: bool = True,
         pos_offset=0,
     ) -> jnp.ndarray:
-        cfg = self.cfg
-        H = cfg.hidden
-
-        # 1. Timestep conditioning: sinusoid -> Dense -> GELU -> Dense
-        t_cond = sinusoidal_time_embedding(t, H).astype(self.dtype)
-        t_cond = nn.Dense(H, dtype=self.dtype, name="time_fc1")(t_cond)
-        t_cond = nn.gelu(t_cond, approximate=False)
-        t_cond = nn.Dense(H, dtype=self.dtype, name="time_fc2")(t_cond)
-
-        if step_idx is not None:
-            # Clamp to the table: the reference's Embedding(16) hard-crashes
-            # when progressive distillation passes step indices up to
-            # num_steps-1 (consistency.py:55 with num_steps=500); in flax an
-            # out-of-bounds Embed gather fills NaN. Indices >= 16 share the
-            # last row — step conditioning only matters at small step counts.
-            step_emb = nn.Embed(
-                MAX_STEP_EMB, H, dtype=self.dtype, name="step_emb"
-            )(jnp.clip(step_idx, 0, MAX_STEP_EMB - 1))
-            t_cond = t_cond + step_emb
-
-        # 2. Semantic context: continuous features (training / STE gradient
-        #    path) or discrete token indices (inference path).
-        if sem_features is not None:
-            context = nn.Dense(H, dtype=self.dtype, name="sem_proj")(sem_features)
-        elif sem_idx is not None:
-            context = nn.Embed(
-                cfg.effective_codebook_size(), H, dtype=self.dtype, name="token_emb"
-            )(sem_idx)
-        else:
-            raise ValueError("either sem_idx or sem_features must be provided")
-        context = SinusoidalPositionalEmb(
-            H, max_len=cfg.max_ctx_positions, name="context_pos_emb"
-        )(
-            context
+        h, context, t_cond = self.prelude(
+            x_t, t, sem_idx=sem_idx, step_idx=step_idx,
+            sem_features=sem_features, pos_offset=pos_offset,
         )
-
-        # 3. Mel projection + positional encoding
-        # ``pos_offset`` shifts the mel positional window: a sequence shard
-        # processing global frames [pos_offset, pos_offset + T) sees its true
-        # positions (parallel/sequence_parallel.py).
-        h = nn.Dense(H, dtype=self.dtype, name="in_proj")(x_t.astype(self.dtype))
-        h = SinusoidalPositionalEmb(
-            H, max_len=cfg.max_mel_positions, name="pos_emb"
-        )(h, offset=pos_offset)
-
-        # 4. Transformer backbone
-        if self.use_pallas is None:
-            use_pallas = cfg.use_flash_attn
-            pallas_min_seq = cfg.pallas_min_seq_len
-        else:
-            use_pallas = self.use_pallas
-            pallas_min_seq = 0
-        for i in range(cfg.layers):
-            h = DiffusionTransformerBlock(
-                dim=H,
-                context_dim=H,
-                cond_dim=H,
-                heads=cfg.heads,
-                ffn_mult=cfg.ffn_mult,
-                dropout=cfg.dropout,
-                use_adaln=cfg.use_adaln,
-                window_size=cfg.attn_window_size,
-                dtype=self.dtype,
-                use_pallas=use_pallas,
-                pallas_min_seq=pallas_min_seq,
-                name=f"layers_{i}",
-            )(h, context=context, cond=t_cond, deterministic=deterministic)
-
-        # 5. LayerNorm + zero-init output head (prediction starts at zero)
-        h = nn.LayerNorm(dtype=self.dtype, name="final_norm")(h)
-        out = nn.Dense(
-            cfg.n_mels,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="out_proj",
-        )(h)
-        return out.astype(jnp.float32)
+        h = self.backbone(h, context, t_cond, deterministic=deterministic)
+        return self.postlude(h)
 
 
 def init_decoder_params(decoder: EdgeDiffusionDecoder, rng, cfg: CFG) -> dict:

@@ -15,6 +15,14 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .pipeline_parallel import (
+    PIPE_AXIS,
+    create_pp_state,
+    make_pp_backbone,
+    make_pp_diffusion_step,
+    pp_pack_params,
+    pp_unpack_params,
+)
 from .sequence_parallel import (
     make_seq_parallel_generate,
     seq_parallel_generate,
@@ -23,6 +31,12 @@ from .sequence_parallel import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
+    "create_pp_state",
+    "make_pp_backbone",
+    "make_pp_diffusion_step",
+    "pp_pack_params",
+    "pp_unpack_params",
     "batch_sharding",
     "make_dp_consistency_step",
     "make_dp_diffusion_step",

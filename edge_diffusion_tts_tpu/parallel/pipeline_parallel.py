@@ -1,0 +1,347 @@
+"""Pipeline parallelism: the decoder backbone staged over a "pipe" mesh axis.
+
+GPipe-style schedule, TPU-idiomatically: the decoder's ``cfg.layers``
+transformer blocks are stacked into one [L, ...] params pytree and sharded
+over the ``pipe`` axis (L/S blocks per stage).  Inside ``shard_map`` each
+stage runs the same traced program: a ``lax.scan`` over (num_microbatches +
+num_stages - 1) ticks; at tick ``k`` stage ``s`` processes microbatch
+``k - s`` (bubble ticks are masked out), applies its local block stack with
+an inner ``lax.scan``, and hands its activation to stage ``s+1`` with
+``lax.ppermute`` — the collective rides ICI.  The last stage's outputs are
+collected from the tick history and broadcast with a masked ``psum``.
+
+Everything AROUND the backbone — mel frontend, frozen encoder, embeddings
+prelude, loss, optimizer — runs replicated under plain ``jit``; XLA/GSPMD
+propagates the stack's sharding into the backward pass, so the existing
+optimizer (incl. ``clip_by_global_norm`` over the GLOBAL tree) is reused
+unchanged and one PP step is numerically the single-device step (see
+tests/test_pipeline_parallel.py).
+
+The decoder model is small enough to replicate (~2.3M params), so PP here is
+the capability/scale demonstration (it is what makes deep decoders with
+many more layers trainable on a pod slice); data parallelism remains the
+deployment default (parallel/data_parallel.py).
+
+Reference: the torch reference is single-GPU and has no pipeline trainer;
+this subsystem extends SURVEY §2.3's parallelism beyond parity scope.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import CFG
+from ..models.decoder import backbone_block
+from ..training.steps import Trainer, _cosine_sim
+
+PIPE_AXIS = "pipe"
+
+
+# ---------------------------------------------------------------------------
+# params <-> stacked-stage layout
+# ---------------------------------------------------------------------------
+
+
+def stack_layer_params(dec_params: Dict) -> Tuple[Any, Dict]:
+    """Split decoder params into (stacked layer pytree [L, ...], rest).
+
+    The stack's leading axis is the layer index; sharding it over the pipe
+    axis gives each stage its contiguous block of layers.
+    """
+    names = sorted(
+        (k for k in dec_params if k.startswith("layers_")),
+        key=lambda k: int(k.split("_")[-1]),
+    )
+    layers = [dec_params[k] for k in names]
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    rest = {k: v for k, v in dec_params.items() if not k.startswith("layers_")}
+    return stack, rest
+
+
+def unstack_layer_params(stack: Any, rest: Dict) -> Dict:
+    """Inverse of :func:`stack_layer_params`."""
+    n_layers = jax.tree.leaves(stack)[0].shape[0]
+    out = dict(rest)
+    for i in range(n_layers):
+        out[f"layers_{i}"] = jax.tree.map(lambda x: x[i], stack)
+    return out
+
+
+def pp_pack_params(params: Dict) -> Dict:
+    """{"encoder", "decoder"} -> {"encoder", "decoder_stack", "decoder_rest"}."""
+    stack, rest = stack_layer_params(params["decoder"])
+    return {
+        "encoder": params["encoder"],
+        "decoder_stack": stack,
+        "decoder_rest": rest,
+    }
+
+
+def pp_unpack_params(params: Dict) -> Dict:
+    return {
+        "encoder": params["encoder"],
+        "decoder": unstack_layer_params(
+            params["decoder_stack"], params["decoder_rest"]
+        ),
+    }
+
+
+def pp_param_sharding(mesh: Mesh, packed: Dict, axis: str = PIPE_AXIS) -> Dict:
+    """NamedShardings for a packed tree: stack over ``axis``, rest replicated."""
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return {
+        "encoder": jax.tree.map(lambda _: repl, packed["encoder"]),
+        "decoder_stack": jax.tree.map(lambda _: shard, packed["decoder_stack"]),
+        "decoder_rest": jax.tree.map(lambda _: repl, packed["decoder_rest"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# the pipelined backbone
+# ---------------------------------------------------------------------------
+
+
+def make_pp_backbone(
+    cfg: CFG,
+    mesh: Mesh,
+    num_microbatches: int,
+    axis: str = PIPE_AXIS,
+    dtype: jnp.dtype = jnp.float32,
+    use_pallas: Optional[bool] = None,
+    data_axis: Optional[str] = None,
+) -> Callable:
+    """Pipelined equivalent of ``EdgeDiffusionDecoder.backbone``.
+
+    Returns ``fwd(stack, h0, context, t_cond, rng=None, deterministic=True)
+    -> h`` where ``stack`` is the [L, ...] layer pytree (sharded over
+    ``axis``) and the activations are full-batch [B, T, H].
+
+    With ``data_axis`` set (2D ``(data, pipe)`` mesh) the microbatch
+    examples additionally shard over the data axis — each data row of the
+    mesh runs the same pipeline schedule on its batch shard, composing DP
+    with PP; without it the activations replicate.
+    """
+    block = backbone_block(cfg, dtype, use_pallas)
+    n_stages = mesh.shape[axis]
+    n_mb = num_microbatches
+    if cfg.layers % n_stages:
+        raise ValueError(
+            f"layers={cfg.layers} not divisible by pipe axis size {n_stages}"
+        )
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+    act_spec = P(None, data_axis)  # [M, mb, T, H]: examples over data axis
+
+    def local_pipeline(det, stack_local, h0_mb, ctx_mb, cond_mb, rng):
+        s = jax.lax.axis_index(axis)
+        if data_axis is not None:
+            # Distinct dropout streams per data shard.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+
+        def apply_stack(h, context, cond, key):
+            def body(carry, lp):
+                h, i = carry
+                rngs = (
+                    None
+                    if det
+                    else {"dropout": jax.random.fold_in(key, i)}
+                )
+                h = block.apply(
+                    {"params": lp},
+                    h,
+                    context=context,
+                    cond=cond,
+                    deterministic=det,
+                    rngs=rngs,
+                )
+                return (h, i + 1), None
+
+            (h, _), _ = jax.lax.scan(body, (h, jnp.int32(0)), stack_local)
+            return h
+
+        def tick(act, k):
+            mb = jnp.clip(k - s, 0, n_mb - 1)
+            take = lambda a: jax.lax.dynamic_index_in_dim(
+                a, mb, 0, keepdims=False
+            )
+            h_in = jnp.where(s == 0, take(h0_mb), act)
+            # Distinct dropout stream per (stage, tick); bubble ticks are
+            # masked out of the output so their draws are inert.
+            key = jax.random.fold_in(jax.random.fold_in(rng, k), s)
+            y = apply_stack(h_in, take(ctx_mb), take(cond_mb), key)
+            act_next = jax.lax.ppermute(y, axis, perm)
+            return act_next, y
+
+        act0 = jnp.zeros_like(h0_mb[0])
+        # The carry becomes device-varying after ppermute; mark the initial
+        # zeros accordingly (JAX's varying-manual-axes check in shard_map).
+        if hasattr(jax.lax, "pcast"):
+            act0 = jax.lax.pcast(act0, (axis,), to="varying")
+        elif hasattr(jax.lax, "pvary"):
+            act0 = jax.lax.pvary(act0, (axis,))
+        _, ys = jax.lax.scan(
+            tick, act0, jnp.arange(n_mb + n_stages - 1)
+        )
+        # Stage S-1 emits microbatch m at tick m + S - 1; mask everything
+        # else and broadcast the collected outputs to all stages.
+        out_last = jax.lax.dynamic_slice_in_dim(ys, n_stages - 1, n_mb, 0)
+        out = jnp.where(s == n_stages - 1, out_last, 0.0)
+        return jax.lax.psum(out, axis)
+
+    def fwd(stack, h0, context, t_cond, rng=None, deterministic=True):
+        B, T, H = h0.shape
+        if B % n_mb:
+            raise ValueError(f"batch {B} not divisible by microbatches {n_mb}")
+        mb = B // n_mb
+        split = lambda a: a.reshape((n_mb, mb) + a.shape[1:])
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        sharded = shard_map(
+            functools.partial(local_pipeline, bool(deterministic)),
+            mesh=mesh,
+            in_specs=(P(axis), act_spec, act_spec, act_spec, P()),
+            out_specs=act_spec,
+        )
+        out_mb = sharded(stack, split(h0), split(context), split(t_cond), rng)
+        return out_mb.reshape(B, T, H)
+
+    return fwd
+
+
+# ---------------------------------------------------------------------------
+# the pipeline-parallel diffusion train step
+# ---------------------------------------------------------------------------
+
+
+def make_pp_diffusion_step(
+    trainer: Trainer,
+    mesh: Mesh,
+    num_microbatches: int,
+    vq_weight: Optional[float] = None,
+    axis: str = PIPE_AXIS,
+    data_axis: Optional[str] = None,
+) -> Callable:
+    """Phase-1 step with the decoder backbone pipelined over ``axis``.
+
+    ``(state, batch, rng) -> (state, metrics)`` operating on a TrainState
+    whose params are :func:`pp_pack_params`-packed.  Mirrors
+    ``Trainer.make_diffusion_loss`` (training/steps.py:137-185) draw for
+    draw, so with dropout disabled one PP step matches the single-device
+    step to float32 tolerance.
+
+    ``data_axis`` composes DP×PP on a 2D mesh: the batch shards over
+    ``data_axis`` (shard the incoming batch with
+    ``NamedSharding(mesh, P(data_axis))``); everything outside the
+    backbone's shard_map — encoder, loss reduction, gradient allreduce of
+    the replicated params — is partitioned by GSPMD from the argument
+    shardings.
+    """
+    cfg = trainer.cfg
+    schedule = trainer.schedule
+    decoder = trainer.decoder
+    vq_weight = vq_weight if vq_weight is not None else cfg.vq_commit
+    pp_fwd = make_pp_backbone(
+        cfg, mesh, num_microbatches, axis=axis,
+        dtype=decoder.dtype, use_pallas=decoder.use_pallas,
+        data_axis=data_axis,
+    )
+
+    def loss_fn(params, vq_state, batch, rng):
+        k_enc, k_cfgdrop, k_t, k_noise, k_dec = jax.random.split(rng, 5)
+        mel_n = trainer._mel_normalized(batch["wav"])
+        B = mel_n.shape[0]
+
+        (z_q, _, vq_loss, ppl, used), new_vq_state = trainer._encode(
+            {"encoder": params["encoder"]}, vq_state, batch, k_enc, train=True
+        )
+        drop = jax.random.bernoulli(k_cfgdrop, cfg.cfg_dropout, (B, 1, 1))
+        z_q = jnp.where(drop, 0.0, z_q)
+
+        t = jax.random.randint(k_t, (B,), 1, cfg.max_timestep)
+        noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+        x_t, _ = schedule.q_sample(mel_n, t, noise)
+        step_idx = jnp.zeros((B,), jnp.int32)
+
+        rest = {"params": params["decoder_rest"]}
+        h0, context, t_cond = decoder.apply(
+            rest, x_t, t, sem_features=z_q, step_idx=step_idx,
+            method=decoder.prelude,
+        )
+        h = pp_fwd(
+            params["decoder_stack"], h0, context, t_cond,
+            rng=k_dec, deterministic=cfg.dropout == 0.0,
+        )
+        pred = decoder.apply(rest, h, method=decoder.postlude)
+
+        if cfg.use_v_prediction:
+            target = schedule.get_v_target(mel_n, noise, t)
+            x0_pred = schedule.predict_x0_from_v(x_t, t, pred)
+        else:
+            target = noise
+            x0_pred = schedule.predict_x0_from_eps(x_t, t, pred)
+        diff_loss = jnp.mean(jnp.square(pred - target))
+        loss = diff_loss + vq_weight * vq_loss
+
+        x0_pred = jax.lax.stop_gradient(x0_pred)
+        metrics = {
+            "loss": loss,
+            "diff_loss": diff_loss,
+            "vq_loss": vq_loss,
+            "perplexity": ppl,
+            "used_codes": used,
+            "x0_mse": jnp.mean(jnp.square(x0_pred - mel_n)),
+            "x0_cos": _cosine_sim(x0_pred, mel_n),
+        }
+        return loss, (new_vq_state, metrics)
+
+    tx = trainer.tx
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state, batch, rng):
+        grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.vq_state, batch, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                vq_state=new_vq_state,
+                opt_state=new_opt_state,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def create_pp_state(cfg: CFG, params: Dict, vq_state, tx, mesh: Mesh,
+                    axis: str = PIPE_AXIS):
+    """Pack params, place them on the mesh, and build a fresh TrainState.
+
+    Optimizer moments start at zero (pack at phase start or step 0; a
+    mid-run conversion would need the moments restacked the same way).
+    """
+    from ..training.state import TrainState
+
+    packed = pp_pack_params(params)
+    sh = pp_param_sharding(mesh, packed, axis)
+    packed = jax.tree.map(jax.device_put, packed, sh)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=packed,
+        vq_state=vq_state,
+        opt_state=tx.init(packed),
+        teacher=None,
+    )
