@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="force JAX platform (tpu/gpu/cpu); reference cli.py --device",
     )
     t.add_argument(
+        "--pipeline", type=int, default=None,
+        help="stage the decoder backbone over N pipeline stages "
+             "(overrides cfg.pipeline_stages)",
+    )
+    t.add_argument(
         "--mesh", type=str, default=None,
         help="data-parallel mesh shape, e.g. '8' or '8,1' (data, model); "
              "overrides cfg.mesh_shape",
@@ -113,6 +118,8 @@ def main(argv=None):
             if len(shape) == 1:
                 shape.append(1)
             cfg.mesh_shape = shape
+        if getattr(args, "pipeline", None):
+            cfg.pipeline_stages = args.pipeline
 
         from .training import train, train_v2
 

@@ -170,6 +170,12 @@ class CFG:
     param_dtype: str = "float32"
     mesh_shape: Optional[List[int]] = None  # (data, model); None = all-data
     mesh_axis_names: List[str] = field(default_factory=lambda: ["data", "model"])
+    # Pipeline parallelism: >1 stages the decoder backbone over a "pipe"
+    # mesh axis (parallel/pipeline_parallel.py); cfg.layers must divide by
+    # it.  Mutually exclusive with mesh_shape (use PPTrainer's data_axis
+    # composition directly for 2D DP x PP meshes).
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0  # 0 = one microbatch per pipeline stage
 
     # ===== LOGGING / EVAL =====
     log_every_steps: int = 50

@@ -17,9 +17,11 @@ from .mesh import (
 )
 from .pipeline_parallel import (
     PIPE_AXIS,
+    PPTrainer,
     create_pp_state,
     make_pp_backbone,
     make_pp_diffusion_step,
+    make_pp_trainer,
     pp_pack_params,
     pp_unpack_params,
 )
@@ -32,9 +34,11 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "PIPE_AXIS",
+    "PPTrainer",
     "create_pp_state",
     "make_pp_backbone",
     "make_pp_diffusion_step",
+    "make_pp_trainer",
     "pp_pack_params",
     "pp_unpack_params",
     "batch_sharding",

@@ -33,13 +33,12 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import CFG
 from ..models.decoder import backbone_block
-from ..training.steps import Trainer, _cosine_sim
+from ..training.steps import Trainer
 
 PIPE_AXIS = "pipe"
 
@@ -74,34 +73,53 @@ def unstack_layer_params(stack: Any, rest: Dict) -> Dict:
     return out
 
 
+def pp_pack_decoder(dec_params: Dict) -> Dict:
+    """Decoder tree -> {"pp_stack": [L, ...] pytree, "pp_rest": the rest}.
+
+    The packed form REPLACES the decoder subtree inside the params pytree,
+    so every existing step/loss factory (all phases, validation, the EMA
+    teacher lerp) operates on it unchanged; ``PPTrainer._decode`` detects it
+    and routes through the pipelined backbone.
+    """
+    stack, rest = stack_layer_params(dec_params)
+    return {"pp_stack": stack, "pp_rest": rest}
+
+
+def pp_unpack_decoder(dec_params: Dict) -> Dict:
+    return unstack_layer_params(dec_params["pp_stack"], dec_params["pp_rest"])
+
+
+def is_pp_packed(dec_params) -> bool:
+    return isinstance(dec_params, dict) and "pp_stack" in dec_params
+
+
 def pp_pack_params(params: Dict) -> Dict:
-    """{"encoder", "decoder"} -> {"encoder", "decoder_stack", "decoder_rest"}."""
-    stack, rest = stack_layer_params(params["decoder"])
-    return {
-        "encoder": params["encoder"],
-        "decoder_stack": stack,
-        "decoder_rest": rest,
-    }
+    """{"encoder", "decoder"} -> same tree with the decoder subtree packed."""
+    out = dict(params)
+    out["decoder"] = pp_pack_decoder(params["decoder"])
+    return out
 
 
 def pp_unpack_params(params: Dict) -> Dict:
-    return {
-        "encoder": params["encoder"],
-        "decoder": unstack_layer_params(
-            params["decoder_stack"], params["decoder_rest"]
-        ),
-    }
+    out = dict(params)
+    out["decoder"] = pp_unpack_decoder(params["decoder"])
+    return out
 
 
 def pp_param_sharding(mesh: Mesh, packed: Dict, axis: str = PIPE_AXIS) -> Dict:
     """NamedShardings for a packed tree: stack over ``axis``, rest replicated."""
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    return {
-        "encoder": jax.tree.map(lambda _: repl, packed["encoder"]),
-        "decoder_stack": jax.tree.map(lambda _: shard, packed["decoder_stack"]),
-        "decoder_rest": jax.tree.map(lambda _: repl, packed["decoder_rest"]),
+    out = {
+        k: jax.tree.map(lambda _: repl, v)
+        for k, v in packed.items()
+        if k != "decoder"
     }
+    out["decoder"] = {
+        "pp_stack": jax.tree.map(lambda _: shard, packed["decoder"]["pp_stack"]),
+        "pp_rest": jax.tree.map(lambda _: repl, packed["decoder"]["pp_rest"]),
+    }
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -216,8 +234,73 @@ def make_pp_backbone(
 
 
 # ---------------------------------------------------------------------------
-# the pipeline-parallel diffusion train step
+# the pipeline-parallel trainer
 # ---------------------------------------------------------------------------
+
+
+class PPTrainer(Trainer):
+    """Trainer whose decoder forward pipelines over the ``pipe`` mesh axis.
+
+    Every loss, phase step, and the DPM++/epsilon validation funnel through
+    ``Trainer._decode``; this subclass overrides ONLY that method, detecting
+    :func:`pp_pack_decoder`-packed trees (student params AND the EMA
+    teacher) and routing them through the pipelined backbone — so all three
+    training phases, both exact-objective variants, and validation pipeline
+    with zero duplicated loss math.  With dropout off, a PP step matches
+    the single-device step to f32 tolerance (tests/test_pipeline_parallel).
+    """
+
+    def __init__(
+        self,
+        cfg: CFG,
+        encoder,
+        decoder,
+        schedule,
+        tx,
+        mesh: Mesh,
+        num_microbatches: int,
+        axis: str = PIPE_AXIS,
+        data_axis: Optional[str] = None,
+    ):
+        super().__init__(cfg, encoder, decoder, schedule, tx)
+        self.mesh = mesh
+        self.pipe_axis = axis
+        self.data_axis = data_axis
+        self.num_microbatches = num_microbatches
+        self._pp_fwd = make_pp_backbone(
+            cfg, mesh, num_microbatches, axis=axis,
+            dtype=decoder.dtype, use_pallas=decoder.use_pallas,
+            data_axis=data_axis,
+        )
+
+    def _decode(self, params, x_t, t, rng=None, deterministic=True, **cond):
+        if not is_pp_packed(params):
+            return super()._decode(
+                params, x_t, t, rng=rng, deterministic=deterministic, **cond
+            )
+        rest = {"params": params["pp_rest"]}
+        h0, context, t_cond = self.decoder.apply(
+            rest, x_t, t, method=self.decoder.prelude, **cond
+        )
+        h = self._pp_fwd(
+            params["pp_stack"], h0, context, t_cond,
+            rng=rng, deterministic=deterministic or rng is None,
+        )
+        return self.decoder.apply(rest, h, method=self.decoder.postlude)
+
+
+def make_pp_trainer(
+    trainer: Trainer,
+    mesh: Mesh,
+    num_microbatches: int,
+    axis: str = PIPE_AXIS,
+    data_axis: Optional[str] = None,
+) -> PPTrainer:
+    """Lift an existing Trainer's modules into a PPTrainer."""
+    return PPTrainer(
+        trainer.cfg, trainer.encoder, trainer.decoder, trainer.schedule,
+        trainer.tx, mesh, num_microbatches, axis=axis, data_axis=data_axis,
+    )
 
 
 def make_pp_diffusion_step(
@@ -230,100 +313,21 @@ def make_pp_diffusion_step(
 ) -> Callable:
     """Phase-1 step with the decoder backbone pipelined over ``axis``.
 
-    ``(state, batch, rng) -> (state, metrics)`` operating on a TrainState
-    whose params are :func:`pp_pack_params`-packed.  Mirrors
-    ``Trainer.make_diffusion_loss`` (training/steps.py:137-185) draw for
-    draw, so with dropout disabled one PP step matches the single-device
-    step to float32 tolerance.
+    ``(state, batch, rng) -> (state, metrics)`` on a TrainState whose
+    params are :func:`pp_pack_params`-packed.  This is
+    ``Trainer.make_diffusion_step`` verbatim — only the decode inside the
+    loss is pipelined — so with dropout disabled one PP step matches the
+    single-device step to float32 tolerance.
 
-    ``data_axis`` composes DP×PP on a 2D mesh: the batch shards over
-    ``data_axis`` (shard the incoming batch with
-    ``NamedSharding(mesh, P(data_axis))``); everything outside the
+    ``data_axis`` composes DP×PP on a 2D mesh: shard the incoming batch
+    with ``NamedSharding(mesh, P(data_axis))``; everything outside the
     backbone's shard_map — encoder, loss reduction, gradient allreduce of
     the replicated params — is partitioned by GSPMD from the argument
     shardings.
     """
-    cfg = trainer.cfg
-    schedule = trainer.schedule
-    decoder = trainer.decoder
-    vq_weight = vq_weight if vq_weight is not None else cfg.vq_commit
-    pp_fwd = make_pp_backbone(
-        cfg, mesh, num_microbatches, axis=axis,
-        dtype=decoder.dtype, use_pallas=decoder.use_pallas,
-        data_axis=data_axis,
-    )
-
-    def loss_fn(params, vq_state, batch, rng):
-        k_enc, k_cfgdrop, k_t, k_noise, k_dec = jax.random.split(rng, 5)
-        mel_n = trainer._mel_normalized(batch["wav"])
-        B = mel_n.shape[0]
-
-        (z_q, _, vq_loss, ppl, used), new_vq_state = trainer._encode(
-            {"encoder": params["encoder"]}, vq_state, batch, k_enc, train=True
-        )
-        drop = jax.random.bernoulli(k_cfgdrop, cfg.cfg_dropout, (B, 1, 1))
-        z_q = jnp.where(drop, 0.0, z_q)
-
-        t = jax.random.randint(k_t, (B,), 1, cfg.max_timestep)
-        noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
-        x_t, _ = schedule.q_sample(mel_n, t, noise)
-        step_idx = jnp.zeros((B,), jnp.int32)
-
-        rest = {"params": params["decoder_rest"]}
-        h0, context, t_cond = decoder.apply(
-            rest, x_t, t, sem_features=z_q, step_idx=step_idx,
-            method=decoder.prelude,
-        )
-        h = pp_fwd(
-            params["decoder_stack"], h0, context, t_cond,
-            rng=k_dec, deterministic=cfg.dropout == 0.0,
-        )
-        pred = decoder.apply(rest, h, method=decoder.postlude)
-
-        if cfg.use_v_prediction:
-            target = schedule.get_v_target(mel_n, noise, t)
-            x0_pred = schedule.predict_x0_from_v(x_t, t, pred)
-        else:
-            target = noise
-            x0_pred = schedule.predict_x0_from_eps(x_t, t, pred)
-        diff_loss = jnp.mean(jnp.square(pred - target))
-        loss = diff_loss + vq_weight * vq_loss
-
-        x0_pred = jax.lax.stop_gradient(x0_pred)
-        metrics = {
-            "loss": loss,
-            "diff_loss": diff_loss,
-            "vq_loss": vq_loss,
-            "perplexity": ppl,
-            "used_codes": used,
-            "x0_mse": jnp.mean(jnp.square(x0_pred - mel_n)),
-            "x0_cos": _cosine_sim(x0_pred, mel_n),
-        }
-        return loss, (new_vq_state, metrics)
-
-    tx = trainer.tx
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(state, batch, rng):
-        grads, (new_vq_state, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.vq_state, batch, rng
-        )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates
-        )
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return (
-            state.replace(
-                step=state.step + 1,
-                params=new_params,
-                vq_state=new_vq_state,
-                opt_state=new_opt_state,
-            ),
-            metrics,
-        )
-
-    return step
+    return make_pp_trainer(
+        trainer, mesh, num_microbatches, axis=axis, data_axis=data_axis
+    ).make_diffusion_step(vq_weight)
 
 
 def create_pp_state(cfg: CFG, params: Dict, vq_state, tx, mesh: Mesh,

@@ -281,6 +281,53 @@ def train(
             mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axis_names))
             print(f"Data-parallel mesh: {dict(mesh.shape)}")
 
+    # -- optional pipeline parallelism (cfg.pipeline_stages) ------------------
+    # >1 stages the decoder backbone over a "pipe" axis: the trainer is
+    # lifted to a PPTrainer (same loss/step factories, pipelined _decode) and
+    # the state's decoder subtree is packed into the stage-sharded layout.
+    # Checkpoints written by a pipeline run carry the packed tree and resume
+    # into pipeline runs; the final model is saved in canonical layout.
+    pp_packed = False
+    if cfg.pipeline_stages > 1:
+        if mesh is not None:
+            raise ValueError(
+                "pipeline_stages and mesh_shape are mutually exclusive in "
+                "train(); compose DP x PP via PPTrainer(data_axis=...) "
+                "directly"
+            )
+        n_stages = cfg.pipeline_stages
+        if cfg.layers % n_stages:
+            raise ValueError(
+                f"layers={cfg.layers} must divide by "
+                f"pipeline_stages={n_stages}"
+            )
+        if len(jax.devices()) < n_stages:
+            raise ValueError(
+                f"pipeline_stages={n_stages} needs {n_stages} devices, "
+                f"have {len(jax.devices())}"
+            )
+        n_mb = cfg.pipeline_microbatches or n_stages
+        if cfg.batch_size % n_mb:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide by "
+                f"pipeline_microbatches={n_mb}"
+            )
+        from jax.sharding import Mesh as _Mesh
+
+        from ..parallel.pipeline_parallel import (
+            PIPE_AXIS,
+            create_pp_state,
+            make_pp_trainer,
+        )
+
+        pipe_mesh = _Mesh(
+            np.array(jax.devices()[:n_stages]).reshape(n_stages), (PIPE_AXIS,)
+        )
+        trainer = make_pp_trainer(trainer, pipe_mesh, n_mb)
+        state = create_pp_state(cfg, state.params, state.vq_state, tx, pipe_mesh)
+        pp_packed = True
+        print(f"Pipeline-parallel: {n_stages} stages, {n_mb} microbatches")
+
     put_batch = None
     if mesh is not None:
         put_batch = lambda b: shard_batch(
@@ -502,7 +549,15 @@ def train(
             )
             _maybe_validate(state, "consistency")
 
-    save_final_model(os.path.join(run_dir, "edge_model_final"), state.params,
+    final_params = state.params
+    if pp_packed:
+        # Canonical layout for the final model (EdgeInference / export /
+        # non-pipeline consumers); checkpoint_final stays packed for
+        # pipeline resume.
+        from ..parallel.pipeline_parallel import pp_unpack_params
+
+        final_params = pp_unpack_params(jax.device_get(state.params))
+    save_final_model(os.path.join(run_dir, "edge_model_final"), final_params,
                      cfg, frozen_host=_frozen_host(state))
     save_checkpoint(os.path.join(run_dir, "checkpoint_final"), state, cfg,
                     {"phase": "final"}, frozen_host=_frozen_host(state))
@@ -510,7 +565,7 @@ def train(
         from ..utils.export import export_for_edge
 
         export_for_edge(
-            cfg, decoder, state.params["decoder"],
+            cfg, decoder, final_params["decoder"],
             os.path.join(run_dir, "edge_model.stablehlo"),
         )
     writer.close()

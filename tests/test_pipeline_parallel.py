@@ -60,7 +60,7 @@ def test_pack_roundtrip():
     params = init_decoder_params(dec, jax.random.PRNGKey(0), cfg)["params"]
     full = {"encoder": {"w": jnp.ones((3,))}, "decoder": params}
     packed = pp_pack_params(full)
-    stack_leaf = jax.tree.leaves(packed["decoder_stack"])[0]
+    stack_leaf = jax.tree.leaves(packed["decoder"]["pp_stack"])[0]
     assert stack_leaf.shape[0] == cfg.layers
     restored = pp_unpack_params(packed)
     jax.tree.map(
@@ -239,3 +239,111 @@ def test_pp_step_matches_single_device():
         got["encoder"],
         want["encoder"],
     )
+
+
+def test_train_driver_pipeline(tmp_path):
+    """cfg.pipeline_stages routes the whole 3-phase driver through the
+    PPTrainer; the final model is saved in canonical layout and loads into
+    EdgeInference."""
+    import os
+
+    from edge_diffusion_tts_tpu.training import train
+    from edge_diffusion_tts_tpu.training.checkpoint import restore_final_model
+
+    cfg = CFG(
+        hidden=32, layers=2, heads=2, segment_secs=0.1, batch_size=2,
+        grad_accumulation=1, diff_steps=8, max_timestep=7,
+        progressive_target_steps=4, diffusion_epochs=1,
+        progressive_epochs_per_halving=1, consistency_epochs=1,
+        dropout=0.0, out_dir=str(tmp_path), val_batches=1,
+        log_every_steps=1, pipeline_stages=2,
+    )
+    wavs = (
+        np.random.RandomState(0)
+        .randn(2, cfg.batch_size, cfg.segment_len)
+        .astype(np.float32)
+        * 0.1
+    )
+    loader = [{"wav": w} for w in wavs]
+    state = train(
+        cfg, train_loader=loader, val_loader=loader[:1],
+        hubert_cfg=HubertConfig.tiny(),
+        phases=["diffusion", "progressive", "consistency"],
+    )
+    assert int(state.step) == 6
+    assert "pp_stack" in state.params["decoder"]  # packed during training
+    run_dir = cfg.get_run_dir()
+    params, _rcfg = restore_final_model(
+        os.path.join(run_dir, "edge_model_final")
+    )
+    # canonical layout on disk
+    assert "layers_0" in params["decoder"] and "pp_stack" not in params["decoder"]
+
+
+def test_pp_distillation_phases_match_single_device():
+    """PPTrainer pipelines phases 2 and 3 (incl. the EMA teacher decode and
+    validation) through the same _decode override — compare one progressive
+    and one consistency step, plus the DPM++ validate fn, vs single device."""
+    from edge_diffusion_tts_tpu.parallel import make_pp_trainer
+
+    cfg = _cfg(layers=4)
+    rng = jax.random.PRNGKey(0)
+    encoder, decoder, params, vq_state = init_models(
+        cfg, rng, hubert_cfg=HubertConfig.tiny()
+    )
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    tx = make_optimizer(cfg, total_steps=100)
+    trainer = Trainer(cfg, encoder, decoder, schedule, tx)
+    mesh = pipe_mesh(4)
+    ppt = make_pp_trainer(trainer, mesh, num_microbatches=2)
+
+    wav = jax.random.normal(
+        jax.random.PRNGKey(5), (cfg.batch_size, cfg.segment_len)
+    ) * 0.1
+    step_rng = jax.random.PRNGKey(7)
+
+    # progressive (exact two-step-teacher objective exercises the teacher
+    # decode through the pipeline twice)
+    state = create_train_state(
+        cfg, jax.tree.map(jnp.array, params), jax.tree.map(jnp.array, vq_state),
+        tx,
+    ).with_teacher()
+    s1, m1 = trainer.make_progressive_step(num_steps=4, exact=True)(
+        state, {"wav": wav}, step_rng
+    )
+
+    pp_state = create_pp_state(cfg, params, vq_state, tx, mesh).with_teacher()
+    s2, m2 = ppt.make_progressive_step(num_steps=4, exact=True)(
+        pp_state, {"wav": wav}, step_rng
+    )
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+
+    # consistency step continues from the updated states
+    s1b, c1 = trainer.make_consistency_step(exact=True)(
+        s1, {"wav": wav}, jax.random.PRNGKey(9)
+    )
+    s2b, c2 = ppt.make_consistency_step(exact=True)(
+        s2, {"wav": wav}, jax.random.PRNGKey(9)
+    )
+    assert abs(float(c1["loss"]) - float(c2["loss"])) < 1e-5
+
+    got = pp_unpack_params(jax.device_get(s2b.params))
+    want = jax.device_get(s1b.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        ),
+        got["decoder"],
+        want["decoder"],
+    )
+
+    # validation (4-step DPM++) pipelines too
+    v1 = trainer.make_validate_fn(num_steps=2)(
+        want, jax.device_get(s1b.vq_state), {"wav": wav[:4]},
+        jax.random.PRNGKey(11),
+    )
+    v2 = ppt.make_validate_fn(num_steps=2)(
+        jax.device_get(s2b.params), jax.device_get(s2b.vq_state),
+        {"wav": wav[:4]}, jax.random.PRNGKey(11),
+    )
+    assert abs(float(v1["val_cos"]) - float(v2["val_cos"])) < 1e-4
