@@ -195,12 +195,14 @@ def main():
     pre_batch = dict(batch)
     pre_batch["hubert_features"] = jax.random.normal(
         jax.random.PRNGKey(8), (32, nf, 768)) * 0.1
-    state_p = create_train_state(tcfg, p2, vq2, tx)
-    state_p, m = step(state_p, pre_batch, jax.random.PRNGKey(9))
+    # Continue from the live state (section 5's steps donated the original
+    # buffers); the new batch structure retraces the step onto the
+    # from_features path.
+    state, m = step(state, pre_batch, jax.random.PRNGKey(9))
     float(m["loss"])
     t0 = time.perf_counter()
     for i in range(N):
-        state_p, m = step(state_p, pre_batch, jax.random.PRNGKey(10 + i))
+        state, m = step(state, pre_batch, jax.random.PRNGKey(10 + i))
     float(m["loss"])  # fetch = completion barrier
     ms = (time.perf_counter() - t0) * 1e3 / N
     emit(
