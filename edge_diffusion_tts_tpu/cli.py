@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     lf.add_argument("--strength", type=float, default=0.6)
     lf.add_argument("--cfg-scale", type=float, default=2.0)
     lf.add_argument("--out", type=str, default="longform.wav")
+    lf.add_argument(
+        "--stream", action="store_true",
+        help="stream waveform increments (generate_streaming_audio): the "
+             "output file grows as chunks finalize; prints per-increment "
+             "latency incl. time-to-first-audio",
+    )
 
     ex = sub.add_parser(
         "export", help="export the decoder for edge deployment"
@@ -174,12 +180,35 @@ def main(argv=None):
             )[0],
             encoder_params=params["encoder"],
         )
-        _, out = pipe.generate(
-            wav, steps=args.steps, strength=args.strength,
-            cfg_scale=args.cfg_scale,
-        )
-        wavfile.write(args.out, cfg.sample_rate,
-                      (np.clip(out, -1, 1) * 32767).astype(np.int16))
+        if args.stream:
+            # Live-serving path: append each finalized waveform increment to
+            # the output as it becomes available (the wav header is
+            # rewritten per increment so the file is always playable).
+            import time as _time
+
+            chunks = []
+            t0 = _time.time()
+            for inc, offset in pipe.generate_streaming_audio(
+                wav, steps=args.steps, strength=args.strength,
+                cfg_scale=args.cfg_scale,
+            ):
+                chunks.append(inc)
+                out = np.concatenate(chunks)
+                wavfile.write(args.out, cfg.sample_rate,
+                              (np.clip(out, -1, 1) * 32767).astype(np.int16))
+                dt = _time.time() - t0
+                tag = "first audio" if len(chunks) == 1 else "increment"
+                print(
+                    f"  {tag}: +{inc.shape[0] / cfg.sample_rate:.2f}s audio "
+                    f"at t={dt:.2f}s (offset {offset / cfg.sample_rate:.2f}s)"
+                )
+        else:
+            _, out = pipe.generate(
+                wav, steps=args.steps, strength=args.strength,
+                cfg_scale=args.cfg_scale,
+            )
+            wavfile.write(args.out, cfg.sample_rate,
+                          (np.clip(out, -1, 1) * 32767).astype(np.int16))
         print(f"wrote {args.out}")
 
     elif args.command == "export":

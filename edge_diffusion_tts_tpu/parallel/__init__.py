@@ -15,6 +15,11 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .multihost import (
+    host_local_batch,
+    init_multihost,
+    make_pod_mesh,
+)
 from .pipeline_parallel import (
     PIPE_AXIS,
     PPTrainer,
@@ -46,7 +51,10 @@ __all__ = [
     "make_dp_diffusion_step",
     "make_dp_generate",
     "make_dp_progressive_step",
+    "host_local_batch",
+    "init_multihost",
     "make_mesh",
+    "make_pod_mesh",
     "make_seq_parallel_generate",
     "replicate",
     "seq_parallel_generate",

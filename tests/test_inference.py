@@ -142,8 +142,12 @@ def test_cli_parser():
     assert a.checkpoint == "/ckpt" and a.steps == 2 and a.oracle
     a = p.parse_args(["longform", "/ckpt", "/in.wav", "--cfg-scale", "1.5"])
     assert a.wav == "/in.wav" and a.cfg_scale == 1.5
+    a = p.parse_args(["longform", "/ckpt", "/in.wav", "--stream"])
+    assert a.stream
     a = p.parse_args(["train", "--device", "cpu", "--mesh", "8"])
     assert a.device == "cpu" and a.mesh == "8"
+    a = p.parse_args(["train", "--pipeline", "4"])
+    assert a.pipeline == 4
     a = p.parse_args(["export", "/ckpt", "--format", "tflite",
                       "--t-frames", "120"])
     assert a.format == "tflite" and a.t_frames == 120
