@@ -256,7 +256,7 @@ def test_train_driver_pipeline(tmp_path):
         progressive_target_steps=4, diffusion_epochs=1,
         progressive_epochs_per_halving=1, consistency_epochs=1,
         dropout=0.0, out_dir=str(tmp_path), val_batches=1,
-        log_every_steps=1, pipeline_stages=2,
+        log_every_steps=1, pipeline_stages=2, pipeline_microbatches=2,
     )
     wavs = (
         np.random.RandomState(0)
