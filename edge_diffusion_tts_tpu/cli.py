@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--oracle", action="store_true",
                    help="wav->mel->GriffinLim round trip (vocoder error only)")
     g.add_argument("--post-filter", action="store_true")
+    g.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
+                   help="dpmpp = 4-step DPM-Solver++ order 2 (v2 serving "
+                        "sampler; requires a v-prediction model)")
 
     lf = sub.add_parser("longform", help="chunked long-audio generation")
     lf.add_argument("checkpoint", type=str)
@@ -150,6 +153,7 @@ def main(argv=None):
             out_path=args.out,
             oracle=args.oracle,
             post_filter=args.post_filter,
+            sampler=args.sampler,
         )
 
     elif args.command == "longform":

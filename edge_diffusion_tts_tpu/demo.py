@@ -89,6 +89,7 @@ def generate_sample(
     oracle: bool = False,
     post_filter: bool = False,
     seed: int = 0,
+    sampler: str = "ddim",
 ) -> Tuple[np.ndarray, int]:
     """Full demo: restore model, generate from a reference wav, write output.
 
@@ -129,6 +130,10 @@ def generate_sample(
         params["decoder"],
         encoder_apply=encoder_apply,
         encoder_params=params["encoder"],
+        # DPM++ interprets the decoder as v-prediction — the sampler the v2
+        # recipe validates and serves with (cfg records the objective).
+        prediction="v" if (sampler == "dpmpp" or cfg.use_v_prediction) else "eps",
+        sampler=sampler,
     )
 
     mel_n = inf.generate_from_audio(jnp.asarray(wav), num_steps=num_steps, rng=rng)

@@ -43,10 +43,27 @@ class EdgeInference:
         encoder_params=None,
         prediction: str = "eps",
         backend: str = "xla",
+        sampler: str = "ddim",
+        solver_order: int = 2,
     ):
         """``backend="fused"`` routes generate_mel through the Pallas
         mega-kernel (ops/fused_denoise.py: whole loop in one launch,
-        weights VMEM-resident); "xla" uses the lax.scan program."""
+        weights VMEM-resident); "xla" uses the lax.scan program.
+
+        ``sampler="dpmpp"`` serves with DPM-Solver++ (order ``solver_order``)
+        — the sampler the v2 recipe validates and deploys with (reference
+        train_v2.py:166-206); it interprets the decoder as a v-prediction
+        (or x0) model, so it requires ``prediction != "eps"``.
+        """
+        if sampler not in ("ddim", "dpmpp"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        if sampler == "dpmpp" and prediction == "eps":
+            raise ValueError(
+                "DPM-Solver++ serving expects a v-prediction (v2-recipe) "
+                "model; train with use_v_prediction or use sampler='ddim'"
+            )
+        if sampler == "dpmpp" and backend == "fused":
+            raise ValueError("the fused backend implements DDIM only")
         self.cfg = cfg
         self.schedule = schedule
         self.decoder_apply = decoder_apply
@@ -55,6 +72,8 @@ class EdgeInference:
         self.encoder_params = encoder_params
         self.prediction = prediction
         self.backend = backend
+        self.sampler = sampler
+        self.solver_order = solver_order
         self._gen_mel_jit = {}
         self._encode_jit = None
 
@@ -84,6 +103,34 @@ class EdgeInference:
                 )
 
             return run_fused
+
+        if self.sampler == "dpmpp":
+            from .schedule import DPMSolverPP
+
+            solver = DPMSolverPP(
+                schedule, order=self.solver_order,
+                predict_x0=prediction == "x0",
+            )
+            max_t = min(self.cfg.max_timestep, schedule.T - 1)
+
+            @jax.jit
+            def run_dpmpp(params, sem_idx, rng, temperature):
+                B, T_sem = sem_idx.shape
+                x_T = (
+                    jax.random.normal(
+                        rng, (B, T_sem * 2, self.cfg.n_mels), jnp.float32
+                    )
+                    * temperature
+                )
+
+                def model_fn(x, t, step_idx):
+                    return decoder_apply(
+                        params, x, t, sem_idx=sem_idx, step_idx=step_idx
+                    )
+
+                return solver.sample(model_fn, x_T, num_steps, max_t=max_t)
+
+            return run_dpmpp
 
         @jax.jit
         def run(params, sem_idx, rng, temperature):

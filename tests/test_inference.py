@@ -128,6 +128,38 @@ def test_export_stablehlo_roundtrip(tiny_inference, tmp_path):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_generate_mel_dpmpp_sampler(tiny_inference):
+    """sampler='dpmpp' serves through DPM-Solver++ order 2 (v-prediction,
+    the v2 serving sampler) and matches the solver called directly."""
+    cfg, decoder, params, _ = tiny_inference
+    from edge_diffusion_tts_tpu.schedule import DPMSolverPP
+
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    inf = EdgeInference(
+        cfg, schedule,
+        lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
+        params, prediction="v", sampler="dpmpp",
+    )
+    sem_idx = jnp.zeros((1, 20), jnp.int32)
+    rng = jax.random.PRNGKey(3)
+    mel = inf.generate_mel(sem_idx, num_steps=4, rng=rng)
+    assert mel.shape == (1, 40, cfg.n_mels)
+
+    x_T = jax.random.normal(rng, (1, 40, cfg.n_mels), jnp.float32)
+    solver = DPMSolverPP(schedule, order=2)
+
+    def model_fn(x, t, si):
+        return decoder.apply(
+            {"params": params}, x, t, sem_idx=sem_idx, step_idx=si
+        )
+
+    want = solver.sample(model_fn, x_T, 4, max_t=schedule.T - 1)
+    np.testing.assert_allclose(np.asarray(mel), np.asarray(want), atol=1e-5)
+
+    with pytest.raises(ValueError):
+        EdgeInference(cfg, schedule, None, None, sampler="dpmpp")  # eps model
+
+
 def test_cli_parser():
     from edge_diffusion_tts_tpu.cli import build_parser
 
