@@ -185,27 +185,44 @@ def main(argv=None):
             encoder_params=params["encoder"],
         )
         if args.stream:
-            # Live-serving path: append each finalized waveform increment to
-            # the output as it becomes available (the wav header is
-            # rewritten per increment so the file is always playable).
+            # Live-serving path: append ONLY each increment's PCM bytes and
+            # patch the two RIFF size fields in place, so per-increment work
+            # is O(increment) and the file is playable at every moment.
+            import struct
             import time as _time
 
-            chunks = []
+            sr = cfg.sample_rate
+            n_bytes, first = 0, True
             t0 = _time.time()
-            for inc, offset in pipe.generate_streaming_audio(
-                wav, steps=args.steps, strength=args.strength,
-                cfg_scale=args.cfg_scale,
-            ):
-                chunks.append(inc)
-                out = np.concatenate(chunks)
-                wavfile.write(args.out, cfg.sample_rate,
-                              (np.clip(out, -1, 1) * 32767).astype(np.int16))
-                dt = _time.time() - t0
-                tag = "first audio" if len(chunks) == 1 else "increment"
-                print(
-                    f"  {tag}: +{inc.shape[0] / cfg.sample_rate:.2f}s audio "
-                    f"at t={dt:.2f}s (offset {offset / cfg.sample_rate:.2f}s)"
+            with open(args.out, "wb+") as f:
+                f.write(
+                    b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                    + b"data" + struct.pack("<I", 0)
                 )
+                for inc, offset in pipe.generate_streaming_audio(
+                    wav, steps=args.steps, strength=args.strength,
+                    cfg_scale=args.cfg_scale,
+                ):
+                    pcm = (
+                        np.clip(inc, -1, 1) * 32767
+                    ).astype("<i2").tobytes()
+                    f.seek(0, 2)
+                    f.write(pcm)
+                    n_bytes += len(pcm)
+                    f.seek(4)
+                    f.write(struct.pack("<I", 36 + n_bytes))
+                    f.seek(40)
+                    f.write(struct.pack("<I", n_bytes))
+                    f.flush()
+                    dt = _time.time() - t0
+                    tag = "first audio" if first else "increment"
+                    first = False
+                    print(
+                        f"  {tag}: +{inc.shape[0] / sr:.2f}s audio "
+                        f"at t={dt:.2f}s (offset {offset / sr:.2f}s)"
+                    )
         else:
             _, out = pipe.generate(
                 wav, steps=args.steps, strength=args.strength,

@@ -130,9 +130,9 @@ def generate_sample(
         params["decoder"],
         encoder_apply=encoder_apply,
         encoder_params=params["encoder"],
-        # DPM++ interprets the decoder as v-prediction — the sampler the v2
-        # recipe validates and serves with (cfg records the objective).
-        prediction="v" if (sampler == "dpmpp" or cfg.use_v_prediction) else "eps",
+        # The checkpoint's cfg records the training objective; the
+        # EdgeInference constructor rejects dpmpp with an eps model.
+        prediction="v" if cfg.use_v_prediction else "eps",
         sampler=sampler,
     )
 

@@ -43,18 +43,36 @@ def init_multihost(
 ) -> Tuple[int, int]:
     """Initialize the JAX distributed runtime; returns (process_id, count).
 
-    With no arguments, relies on the Cloud TPU / SLURM environment
-    auto-detection built into ``jax.distributed.initialize``.  Safe to call
-    in a single-process run (returns (0, 1) without initializing).
+    Must run BEFORE the first backend touch (this function deliberately
+    never queries the backend itself: doing so would both defeat the
+    cluster auto-detection and make a later ``initialize`` raise).  With no
+    arguments it attempts the Cloud TPU / SLURM environment auto-detection
+    built into ``jax.distributed.initialize``; when no cluster environment
+    is detected (ValueError: no coordinator) it degrades to single-process
+    (0, 1).  Explicit arguments never degrade silently — errors propagate.
     """
-    if num_processes in (None, 1) and coordinator_address is None:
-        if jax.process_count() == 1:
-            return 0, 1
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
+    explicit = (
+        coordinator_address is not None
+        or num_processes not in (None, 1)
+        or process_id is not None
     )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except ValueError:
+        # No cluster environment detected (no coordinator address).
+        if explicit:
+            raise
+        return 0, 1
+    except RuntimeError:
+        # Backend already initialized (e.g. called late in a test process):
+        # report the topology it came up with instead of re-initializing.
+        if explicit:
+            raise
+        return jax.process_index(), jax.process_count()
     return jax.process_index(), jax.process_count()
 
 

@@ -356,8 +356,14 @@ class LongFormPipeline:
         tail = np.zeros((0,), np.float32)  # held-back crossfade samples
 
         def render(F: int):
-            """Vocode the window of mel history ending at frame F."""
-            w0 = max(0, F - (self.hop_frames + ctx_frames))
+            """Vocode the window of mel history ending at frame F.
+
+            The window start must reach back past the first NOT-yet-emitted
+            sample (``out_pos``), plus ``ctx_frames`` of context for
+            Griffin-Lim quality — a fixed ``F - (hop + ctx)`` lookback drops
+            audio whenever an increment exceeds it (e.g. the last chunk's
+            full remainder under the default 2 s / 0.5 s geometry)."""
+            w0 = max(0, min(F - self.hop_frames, out_pos // hop) - ctx_frames)
             wav_win = self.vocode(
                 hist[:, w0:F],
                 jax.random.fold_in(k_gl, w0),

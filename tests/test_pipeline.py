@@ -178,6 +178,46 @@ def test_streaming_overlap_add_oracle(tiny_pipeline, monkeypatch):
     np.testing.assert_allclose(streamed, expected, atol=1e-5)
 
 
+@pytest.mark.parametrize("secs", [2.0, 3.5])
+def test_streaming_audio_default_geometry_covers_input(secs):
+    """Regression: at the DEFAULT chunk geometry (2 s / 0.5 s, where
+    overlap_frames > ctx_frames) the final increment used to fall outside
+    the fixed render-window lookback — a 2.0 s input yielded 160 samples
+    and a 3.5 s input lost its last ~2 s.  The stream must cover the whole
+    utterance with contiguous offsets for any input length."""
+    cfg = CFG(hidden=32, layers=1, heads=2, diff_steps=50, dropout=0.0)
+    decoder = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(decoder, jax.random.PRNGKey(0), cfg)["params"]
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+
+    def encoder_apply(_, wav):
+        S = wav.shape[-1] // 320
+        return jnp.zeros((wav.shape[0], S, cfg.semantic_dim), jnp.float32)
+
+    pipe = LongFormPipeline(
+        cfg, schedule,
+        lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
+        params, encoder_apply=encoder_apply, encoder_params={},
+    )
+    total = int(secs * cfg.sample_rate)
+    t = np.arange(total) / cfg.sample_rate
+    wav = (0.2 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
+    chunks = list(
+        pipe.generate_streaming_audio(
+            wav, steps=2, strength=0.3, cfg_scale=1.0,
+            rng=jax.random.PRNGKey(1), griffin_lim_iters=4,
+        )
+    )
+    assert chunks and chunks[0][1] == 0
+    for (c1, o1), (c2, o2) in zip(chunks, chunks[1:]):
+        assert o2 == o1 + c1.shape[0]
+    stream = np.concatenate([c for c, _ in chunks])
+    assert np.isfinite(stream).all()
+    assert abs(stream.shape[0] - total) <= cfg.hop_length, (
+        stream.shape[0], total
+    )
+
+
 def test_streaming_audio_mel_equivalence(tiny_pipeline):
     """generate_streaming_audio yields contiguous waveform increments whose
     concatenation tracks the generated mel as closely as the offline
