@@ -120,6 +120,14 @@ class CFG:
     # (PALLAS_CROSSOVER_r02.jsonl, bench_pallas.py).
     use_flash_attn: bool = True
     pallas_min_seq_len: int = 3000
+    # Query-chunk size for the decoder's cross-attention (0 = dense).  Long
+    # mel sequences against a long semantic context materialize an O(T*S)
+    # fp32 score matrix in HBM (128 MB at the 40 s long-form shape); scanning
+    # q in chunks bounds that to one tile and measured 3.6x faster on v5e
+    # (layers/attention.py::q_chunked_sdpa).  Engages only when
+    # T >= 2 * cross_q_chunk on the no-dropout path, so the flagship T=500
+    # program is untouched.
+    cross_q_chunk: int = 512
     use_adaln: bool = True
     dropout: float = 0.2
     attn_window_size: int = 64

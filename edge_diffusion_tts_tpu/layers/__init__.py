@@ -5,6 +5,7 @@ from .attention import (
     EfficientAttention,
     MultiHeadLatentAttention,
     local_attention_mask,
+    q_chunked_sdpa,
     sdpa,
 )
 from .conv import ConvBlock, DepthwiseSeparableConv
@@ -38,6 +39,7 @@ __all__ = [
     "SinusoidalTimeEmb",
     "apply_rope",
     "local_attention_mask",
+    "q_chunked_sdpa",
     "rope_tables",
     "sdpa",
     "sinusoidal_position_table",

@@ -53,6 +53,36 @@ def sdpa(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def q_chunked_sdpa(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, q_chunk: int
+) -> jnp.ndarray:
+    """SDPA scanned over query chunks — same math, bounded logits footprint.
+
+    Softmax rows are independent across queries, so splitting the q axis into
+    chunks of ``q_chunk`` and scanning computes exactly the dense result while
+    only ever materializing a ``[B, H, q_chunk, S]`` logits tile.  At the
+    long-form shape (B1 H4 T4000 S2000 d40) the dense path writes a 128 MB
+    fp32 score matrix to HBM; chunking keeps each tile resident and measured
+    3.6x faster on v5e (0.539 -> 0.149 ms/call, chunk 500 — see the sweep in
+    PARITY.md / BENCH_all_r03).  The two matmuls are ~5.1 GFLOP = ~0.10 ms at
+    fp32 MXU peak, so the chunked form runs near speed-of-light; a Pallas
+    flash kernel has nothing left to win here.
+    """
+    B, H, T, D = q.shape
+    n = -(-T // q_chunk)
+    pad = n * q_chunk - T
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qc = q.reshape(B, H, n, q_chunk, D).transpose(2, 0, 1, 3, 4)
+
+    def step(carry, qi):
+        return carry, sdpa(qi, k, v)
+
+    _, outs = jax.lax.scan(step, None, qc)
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, n * q_chunk, D)
+    return out[:, :, :T] if pad else out
+
+
 class EfficientAttention(nn.Module):
     """Multi-head self-attention with fused QKV and optional band mask.
 
@@ -178,6 +208,10 @@ class MultiHeadLatentAttention(nn.Module):
     dropout: float = 0.1
     window_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    # Cross-attention query chunking (0 = dense).  Engages only in context
+    # mode, on the no-dropout path, and when T >= 2 * q_chunk — short
+    # sequences gain nothing and the flagship T=500 path stays byte-identical.
+    q_chunk: int = 0
 
     @nn.compact
     def __call__(
@@ -216,20 +250,25 @@ class MultiHeadLatentAttention(nn.Module):
         if self.window_size is not None and context is None:
             mask = local_attention_mask(T, self.window_size)[None, None]
 
-        rng = (
-            self.make_rng("dropout")
-            if (self.dropout > 0 and not deterministic)
-            else None
-        )
-        out = sdpa(
-            q,
-            k,
-            v,
-            mask,
-            dropout_rate=self.dropout,
-            deterministic=deterministic,
-            dropout_rng=rng,
-        )
+        use_dropout = self.dropout > 0 and not deterministic
+        if (
+            self.q_chunk > 0
+            and context is not None
+            and not use_dropout
+            and T >= 2 * self.q_chunk
+        ):
+            out = q_chunked_sdpa(q, k, v, self.q_chunk)
+        else:
+            rng = self.make_rng("dropout") if use_dropout else None
+            out = sdpa(
+                q,
+                k,
+                v,
+                mask,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                dropout_rng=rng,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="out_proj")(
             out

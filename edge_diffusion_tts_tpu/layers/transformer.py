@@ -34,6 +34,7 @@ class DiffusionTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     pallas_min_seq: int = 0
+    cross_q_chunk: int = 0
 
     @nn.compact
     def __call__(
@@ -70,6 +71,7 @@ class DiffusionTransformerBlock(nn.Module):
             dropout=self.dropout,
             window_size=None,  # full attention over the (short) context
             dtype=self.dtype,
+            q_chunk=self.cross_q_chunk,
             name="cross_attn",
         )(h, context=context, deterministic=deterministic)
 

@@ -51,6 +51,7 @@ def backbone_block(cfg: CFG, dtype, use_pallas: Optional[bool] = None):
         dtype=dtype,
         use_pallas=up,
         pallas_min_seq=pms,
+        cross_q_chunk=cfg.cross_q_chunk,
     )
 
 

@@ -16,6 +16,7 @@ from edge_diffusion_tts_tpu.layers import (
     LearnedPositionalEmb,
     LearnedTimeEmb,
     MultiHeadLatentAttention,
+    q_chunked_sdpa,
     RMSNorm,
     SinusoidalPositionalEmb,
     apply_rope,
@@ -155,6 +156,43 @@ def test_mla_self_and_cross():
     assert modx.apply(params, x, context=ctx).shape == (2, 9, 16)
     # latent rank defaults to dim // 2
     assert params["params"]["kv_down_proj"]["kernel"].shape == (16, 8)
+
+
+@pytest.mark.parametrize("T,chunk", [(64, 16), (50, 16), (7, 3)])
+def test_q_chunked_sdpa_matches_dense(T, chunk):
+    # Softmax rows are independent across queries, so chunking the q axis
+    # must reproduce the dense result exactly (incl. the padded tail).
+    from edge_diffusion_tts_tpu.layers.attention import sdpa as dense_sdpa
+
+    B, H, S, d = 2, 4, 23, 8
+    q = jax.random.normal(KEY, (B, H, T, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, d))
+    ref = dense_sdpa(q, k, v)
+    out = q_chunked_sdpa(q, k, v, chunk)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_mla_cross_q_chunk_matches_dense():
+    # The q_chunk routing inside MLA must be numerically transparent: the same
+    # params applied with chunking on/off agree, and short sequences
+    # (T < 2 * q_chunk) fall back to the dense path.
+    x = jax.random.normal(KEY, (2, 40, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 13, 16))
+    dense = MultiHeadLatentAttention(16, heads=4, dropout=0.0)
+    chunked = MultiHeadLatentAttention(16, heads=4, dropout=0.0, q_chunk=8)
+    params = dense.init(KEY, x, context=ctx)
+    ref = dense.apply(params, x, context=ctx)
+    out = chunked.apply(params, x, context=ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # short-sequence fallback: T=9 < 2*8 routes dense; result must still match
+    xs = x[:, :9]
+    np.testing.assert_allclose(
+        np.asarray(chunked.apply(params, xs, context=ctx)),
+        np.asarray(dense.apply(params, xs, context=ctx)),
+        atol=1e-6,
+    )
 
 
 def test_conv_blocks():

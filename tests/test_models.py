@@ -168,6 +168,22 @@ def test_decoder_shapes_token_path():
     assert y.shape == (2, 20, cfg.n_mels)
 
 
+def test_decoder_cross_q_chunk_transparent():
+    # cfg.cross_q_chunk routes the decoder's cross-attention through the
+    # q-chunked scan on long sequences; the forward must be unchanged.
+    cfg_d = small_cfg(use_fsq=False, codebook_size=64, cross_q_chunk=0)
+    cfg_c = small_cfg(use_fsq=False, codebook_size=64, cross_q_chunk=8)
+    x = jax.random.normal(KEY, (1, 24, cfg_d.n_mels))
+    t = jnp.array([100])
+    sem = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, 64)
+    dense = EdgeDiffusionDecoder(cfg_d)
+    chunked = EdgeDiffusionDecoder(cfg_c)
+    params = dense.init(KEY, x, t, sem_idx=sem)
+    ref = dense.apply(params, x, t, sem_idx=sem)
+    out = chunked.apply(params, x, t, sem_idx=sem)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_decoder_zero_init_output():
     cfg = small_cfg(use_fsq=False, codebook_size=64)
     dec = EdgeDiffusionDecoder(cfg)
