@@ -274,11 +274,26 @@ def main():
     ms_xla = fit_device_ms(longform_body(dec_lf_xla), reps=(2, 8), runs=4)[
         "device_ms"
     ]
+    # Third variant: banded Pallas self-attention but DENSE cross-attention
+    # (cross_q_chunk=0) — isolates the q-chunked cross-attention win
+    # (layers/attention.py::q_chunked_sdpa) at the 40 s shape, where the
+    # dense path writes a 128 MB fp32 [T=4000, S=2000] score matrix per
+    # layer-call to HBM.
+    import dataclasses
+
+    dec_lf_dense = EdgeDiffusionDecoder(
+        dataclasses.replace(lf_cfg, cross_q_chunk=0)
+    )
+    ms_dense = fit_device_ms(
+        longform_body(dec_lf_dense), reps=(2, 8), runs=4
+    )["device_ms"]
     emit(
         {"metric": "4step_ddim_40s_longform", "value": round(ms_pl, 2),
          "unit": "ms", "vs_baseline": None,
          "xla_ms": round(ms_xla, 2),
-         "speedup_vs_xla": round(ms_xla / ms_pl, 2)}
+         "speedup_vs_xla": round(ms_xla / ms_pl, 2),
+         "dense_cross_ms": round(ms_dense, 2),
+         "speedup_vs_dense_cross": round(ms_dense / ms_pl, 2)}
     )
 
     if "--variants" not in sys.argv:

@@ -83,6 +83,58 @@ def q_chunked_sdpa(
     return out[:, :, :T] if pad else out
 
 
+def q_chunked_banded_sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window: int,
+    q_chunk: int,
+) -> jnp.ndarray:
+    """Windowed self-attention via query chunks over static k/v band slices.
+
+    Pure-XLA alternative to the Pallas banded kernel
+    (ops/window_attention.py): for query rows ``[i*C, (i+1)*C)`` only columns
+    ``[i*C - w, (i+1)*C + w)`` can be in-band, so each scan step contracts a
+    ``[C, D]`` query tile against a static-size ``[C + 2w, D]`` key slice —
+    O(T*(C+2w)) FLOPs and a bounded logits tile instead of the dense masked
+    path's O(T^2) and its [T, T] fp32 score matrix (256 MB at T=4000).
+    The in-band condition depends only on the within-chunk offsets
+    (``0 <= j - a <= 2w``), so one [C, C+2w] mask serves every chunk; a
+    per-chunk column-validity vector handles the sequence edges.  Exact same
+    math as dense masked SDPA (parity-tested in tests/test_layers.py).
+    """
+    B, H, T, D = q.shape
+    C = q_chunk
+    n = -(-T // C)
+    pad = n * C - T
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kwin = C + 2 * window
+    kp = jnp.pad(k, ((0, 0), (0, 0), (window, window + pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (window, window + pad), (0, 0)))
+    qc = q.reshape(B, H, n, C, D).transpose(2, 0, 1, 3, 4)
+
+    # Within-chunk band: row a attends col j iff 0 <= j - a <= 2w (col j of
+    # the slice is global column i*C - w + j for rows starting at i*C).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C, kwin), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (C, kwin), 1)
+    band = (cols >= rows) & (cols - rows <= 2 * window)
+    col_iota = jnp.arange(kwin, dtype=jnp.int32)
+
+    def step(carry, xs):
+        qi, i = xs
+        ks = jax.lax.dynamic_slice_in_dim(kp, i * C, kwin, axis=2)
+        vs = jax.lax.dynamic_slice_in_dim(vp, i * C, kwin, axis=2)
+        g = i * C - window + col_iota  # global column of each slice col
+        valid = (g >= 0) & (g < T)
+        mask = (band & valid[None, :])[None, None]
+        return carry, sdpa(qi, ks, vs, mask)
+
+    _, outs = jax.lax.scan(step, None, (qc, jnp.arange(n)))
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, n * C, D)
+    return out[:, :, :T] if pad else out
+
+
 class EfficientAttention(nn.Module):
     """Multi-head self-attention with fused QKV and optional band mask.
 

@@ -174,6 +174,25 @@ def test_q_chunked_sdpa_matches_dense(T, chunk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("T,chunk,window", [(64, 16, 4), (50, 16, 7), (40, 16, 20)])
+def test_q_chunked_banded_sdpa_matches_dense(T, chunk, window):
+    # The chunked-band form must reproduce dense masked SDPA exactly,
+    # including ragged tails and windows wider than the chunk.
+    from edge_diffusion_tts_tpu.layers.attention import (
+        q_chunked_banded_sdpa,
+        sdpa as dense_sdpa,
+    )
+
+    B, H, d = 2, 3, 8
+    q = jax.random.normal(KEY, (B, H, T, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, T, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, d))
+    mask = local_attention_mask(T, window)[None, None]
+    ref = dense_sdpa(q, k, v, mask)
+    out = q_chunked_banded_sdpa(q, k, v, window, chunk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_mla_cross_q_chunk_matches_dense():
     # The q_chunk routing inside MLA must be numerically transparent: the same
     # params applied with chunking on/off agree, and short sequences
