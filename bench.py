@@ -155,5 +155,45 @@ def main():
     )
 
 
+def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 300.0):
+    """Block until the TPU backend initializes (tunnel outages self-heal).
+
+    The tunneled single-chip backend intermittently reports
+    ``UNAVAILABLE: TPU backend setup/compile error`` for minutes at a time
+    (observed wedges of 5-10 min after a killed compile).  Probing in a
+    subprocess keeps this process's jax backend state clean: a failed init
+    in-process would be cached for the lifetime of the interpreter.
+    """
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(
+                f"bench: backend still unavailable after {attempt} probes / "
+                f"{max_wait_s:.0f}s — proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"bench: TPU backend unavailable (probe {attempt}), retrying...",
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+
+
 if __name__ == "__main__":
+    wait_for_backend()
     main()
