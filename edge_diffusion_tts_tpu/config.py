@@ -128,6 +128,13 @@ class CFG:
     # T >= 2 * cross_q_chunk on the no-dropout path, so the flagship T=500
     # program is untouched.
     cross_q_chunk: int = 512
+    # Query-chunk size for the pure-XLA banded self-attention fallback
+    # (layers/attention.py::q_chunked_banded_sdpa): when the Pallas branch
+    # is not taken (use_flash_attn=False or T < pallas_min_seq_len), long
+    # windowed sequences scan static k/v band slices instead of
+    # materializing the dense [T, T] fp32 score matrix (256 MB at T=4000).
+    # 0 = dense masked SDPA (default pending v5e measurement).
+    band_q_chunk: int = 0
     use_adaln: bool = True
     dropout: float = 0.2
     attn_window_size: int = 64

@@ -154,6 +154,11 @@ class EfficientAttention(nn.Module):
     # O(T*window) vs O(T^2) FLOP saving); 0 forces the kernel whenever
     # use_pallas is set.  Measured on v5e — see ops/window_attention.py.
     pallas_min_seq: int = 0
+    # Query-chunk size for the pure-XLA banded fallback (0 = dense masked
+    # SDPA).  When the Pallas branch is not taken, long windowed sequences
+    # route through q_chunked_banded_sdpa at T >= 2 * band_q_chunk on the
+    # no-dropout path, avoiding the dense [T, T] fp32 score matrix.
+    band_q_chunk: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -174,6 +179,15 @@ class EfficientAttention(nn.Module):
             from ..ops.window_attention import banded_attention
 
             out = banded_attention(q, k, v, self.window_size)
+        elif (
+            self.band_q_chunk > 0
+            and self.window_size is not None
+            and deterministic
+            and T >= 2 * self.band_q_chunk
+        ):
+            out = q_chunked_banded_sdpa(
+                q, k, v, self.window_size, self.band_q_chunk
+            )
         else:
             mask = None
             if self.window_size is not None:

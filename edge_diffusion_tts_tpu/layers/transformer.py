@@ -35,6 +35,7 @@ class DiffusionTransformerBlock(nn.Module):
     use_pallas: bool = False
     pallas_min_seq: int = 0
     cross_q_chunk: int = 0
+    band_q_chunk: int = 0
 
     @nn.compact
     def __call__(
@@ -60,6 +61,7 @@ class DiffusionTransformerBlock(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_min_seq=self.pallas_min_seq,
+            band_q_chunk=self.band_q_chunk,
             name="attn",
         )(h, deterministic=deterministic)
 

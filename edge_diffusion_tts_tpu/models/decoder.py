@@ -52,6 +52,7 @@ def backbone_block(cfg: CFG, dtype, use_pallas: Optional[bool] = None):
         use_pallas=up,
         pallas_min_seq=pms,
         cross_q_chunk=cfg.cross_q_chunk,
+        band_q_chunk=cfg.band_q_chunk,
     )
 
 

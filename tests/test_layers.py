@@ -193,6 +193,29 @@ def test_q_chunked_banded_sdpa_matches_dense(T, chunk, window):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_efficient_attention_band_q_chunk_routing():
+    # band_q_chunk routes EfficientAttention's XLA fallback through the
+    # chunked-band scan at T >= 2*chunk; same params must give the same
+    # output, and short T must fall back to the dense path.
+    x = jax.random.normal(KEY, (2, 48, 16))
+    dense = EfficientAttention(16, heads=4, dropout=0.0, window_size=5)
+    chunked = EfficientAttention(
+        16, heads=4, dropout=0.0, window_size=5, band_q_chunk=8
+    )
+    params = dense.init(KEY, x)
+    np.testing.assert_allclose(
+        np.asarray(chunked.apply(params, x)),
+        np.asarray(dense.apply(params, x)),
+        atol=1e-6,
+    )
+    xs = x[:, :12]  # 12 < 2*8 -> dense fallback
+    np.testing.assert_allclose(
+        np.asarray(chunked.apply(params, xs)),
+        np.asarray(dense.apply(params, xs)),
+        atol=1e-6,
+    )
+
+
 def test_mla_cross_q_chunk_matches_dense():
     # The q_chunk routing inside MLA must be numerically transparent: the same
     # params applied with chunking on/off agree, and short sequences
