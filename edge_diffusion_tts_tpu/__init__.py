@@ -16,6 +16,7 @@ Subpackages:
   training   jitted phase steps, 3-phase driver, orbax checkpoints
   parallel   device mesh, shard_map data parallelism
   inference  few-step EdgeInference; pipeline: long-form chunked generation
+  serving    micro-batched request serving (shape buckets + exact masking)
   utils      audio norm, logging, export, speed/profiling, visualization
 """
 
@@ -42,6 +43,10 @@ def __getattr__(name):  # lazy top-level API (mirrors the reference exports)
         from .pipeline import LongFormPipeline
 
         return LongFormPipeline
+    if name in ("MicroBatcher", "serve_tcp", "request_tts"):
+        from . import serving
+
+        return getattr(serving, name)
     if name in ("Trainer", "ConsistencyTrainer", "train", "train_v2"):
         from . import training
 
@@ -63,6 +68,7 @@ __all__ = [
     "EdgeDiffusionDecoder",
     "VectorQuantizer",
     "EdgeInference",
+    "MicroBatcher",
     "ConsistencyTrainer",
     "LongFormPipeline",
     "Trainer",

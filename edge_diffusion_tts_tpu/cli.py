@@ -91,6 +91,21 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--quantize", choices=["dynamic", "int8"], default="",
                     help="post-training quantization (tflite only)")
 
+    sv = sub.add_parser(
+        "serve",
+        help="micro-batched TCP serving (line-JSON protocol, serving.py)",
+    )
+    sv.add_argument("checkpoint", type=str, help="edge_model_final directory")
+    sv.add_argument("--host", type=str, default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=7455)
+    sv.add_argument("--steps", type=int, default=None,
+                    help="denoise steps (default cfg.inference_steps)")
+    sv.add_argument("--buckets", type=str, default="128,256,512,1024",
+                    help="token-length buckets (one compiled program each)")
+    sv.add_argument("--max-batch", type=int, default=8)
+    sv.add_argument("--max-wait-ms", type=float, default=5.0)
+    sv.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim")
+
     mg = sub.add_parser(
         "migrate", help="convert a PyTorch-reference .pt checkpoint"
     )
@@ -231,6 +246,57 @@ def main(argv=None):
             wavfile.write(args.out, cfg.sample_rate,
                           (np.clip(out, -1, 1) * 32767).astype(np.int16))
         print(f"wrote {args.out}")
+
+    elif args.command == "serve":
+        import jax
+        import jax.numpy as jnp
+
+        from .inference import EdgeInference
+        from .models import EdgeDiffusionDecoder
+        from .schedule import DiffusionSchedule
+        from .serving import MicroBatcher, serve_tcp
+        from .training.checkpoint import restore_final_model
+
+        params, cfg = restore_final_model(args.checkpoint)
+        decoder = EdgeDiffusionDecoder(cfg)
+        inf = EdgeInference(
+            cfg,
+            DiffusionSchedule.create(cfg.diff_steps),
+            decoder.apply,
+            {"params": params["decoder"]},
+            sampler=args.sampler,
+            prediction="v" if args.sampler == "dpmpp" else "eps",
+        )
+        steps = args.steps or cfg.inference_steps
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+
+        def generate_fn(sem_idx, sem_mask):
+            return inf.generate_mel(
+                jnp.asarray(sem_idx), num_steps=steps,
+                sem_mask=jnp.asarray(sem_mask),
+            )
+
+        batcher = MicroBatcher(
+            generate_fn, buckets=buckets, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+        )
+        # warm the per-bucket programs so first requests aren't compile-bound
+        for b in buckets:
+            batcher.generate(list(range(1, min(b, 4) + 1)))
+            print(f"serve: bucket {b} compiled", flush=True)
+        server = serve_tcp(batcher, host=args.host, port=args.port)
+        print(
+            f"serving on {server.server_address[0]}:{server.server_address[1]} "
+            f"(steps={steps}, buckets={buckets}, max_batch={args.max_batch})",
+            flush=True,
+        )
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            server.shutdown()
+            batcher.close()
 
     elif args.command == "export":
         from .models import EdgeDiffusionDecoder

@@ -79,11 +79,54 @@ class EdgeInference:
 
     # -- jitted program builders --------------------------------------------------
 
-    def _build_generate_mel(self, num_steps: int):
-        """One fused XLA program: noise -> num_steps x (decode + DDIM) -> x0."""
+    def _build_generate_mel(self, num_steps: int, masked: bool = False):
+        """One fused XLA program: noise -> num_steps x (decode + DDIM) -> x0.
+
+        ``masked=True`` builds the variable-length-batch variant: it takes an
+        extra ``sem_mask`` [B, S] bool argument marking real token positions;
+        padded keys are excluded from attention so each row's valid frames
+        equal its unpadded generation (micro-batched serving, serving.py).
+        The fused Pallas backend carries no per-batch masks — masked calls
+        use the XLA program.
+        """
         schedule = self.schedule
         decoder_apply = self.decoder_apply
         prediction = self.prediction
+
+        if masked:
+            if self.sampler == "dpmpp":
+                from .schedule import DPMSolverPP
+
+                solver = DPMSolverPP(
+                    schedule, order=self.solver_order,
+                    predict_x0=prediction == "x0",
+                )
+                max_t = min(self.cfg.max_timestep, schedule.T - 1)
+
+            @jax.jit
+            def run_masked(params, sem_idx, rng, temperature, sem_mask):
+                B, T_sem = sem_idx.shape
+                mel_mask = jnp.repeat(sem_mask, 2, axis=1)  # 50 Hz -> 100 Hz
+                x_T = (
+                    jax.random.normal(
+                        rng, (B, T_sem * 2, self.cfg.n_mels), jnp.float32
+                    )
+                    * temperature
+                )
+
+                def model_fn(x, t, step_idx):
+                    return decoder_apply(
+                        params, x, t, sem_idx=sem_idx, step_idx=step_idx,
+                        sem_mask=sem_mask, mel_mask=mel_mask,
+                    )
+
+                if self.sampler == "dpmpp":
+                    return solver.sample(model_fn, x_T, num_steps, max_t=max_t)
+                return ddim_sample(
+                    schedule, model_fn, x_T, num_steps, prediction=prediction
+                )
+
+            return run_masked
 
         if self.backend == "fused":
             from .ops.fused_denoise import fused_generate_mel
@@ -160,18 +203,30 @@ class EdgeInference:
         num_steps: Optional[int] = None,
         temperature: float = 1.0,
         rng: Optional[jax.Array] = None,
+        sem_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Semantic tokens [B, S] -> normalized log-mel [B, 2S, n_mels].
 
         Reference semantics: inference.py:24-53 (stride = T // num_steps,
         timesteps = range(T-1, 0, -stride)[:num_steps], eta=0 DDIM, returns
-        the final x0 prediction).
+        the final x0 prediction).  ``sem_mask`` ([B, S] bool, True = real
+        token) enables exact variable-length batching: row i's frames
+        ``[:2 * sem_mask[i].sum()]`` match that row's unpadded generation.
         """
         num_steps = num_steps or self.cfg.inference_steps
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        if num_steps not in self._gen_mel_jit:
-            self._gen_mel_jit[num_steps] = self._build_generate_mel(num_steps)
-        return self._gen_mel_jit[num_steps](
+        masked = sem_mask is not None
+        key = (num_steps, masked)
+        if key not in self._gen_mel_jit:
+            self._gen_mel_jit[key] = self._build_generate_mel(
+                num_steps, masked=masked
+            )
+        if masked:
+            return self._gen_mel_jit[key](
+                self.decoder_params, sem_idx, rng, jnp.float32(temperature),
+                sem_mask,
+            )
+        return self._gen_mel_jit[key](
             self.decoder_params, sem_idx, rng, jnp.float32(temperature)
         )
 

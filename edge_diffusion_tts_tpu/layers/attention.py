@@ -54,7 +54,11 @@ def sdpa(
 
 
 def q_chunked_sdpa(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, q_chunk: int
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_chunk: int,
+    key_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """SDPA scanned over query chunks — same math, bounded logits footprint.
 
@@ -74,9 +78,12 @@ def q_chunked_sdpa(
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
     qc = q.reshape(B, H, n, q_chunk, D).transpose(2, 0, 1, 3, 4)
+    # A key-side validity mask ([B, S] bool) is the same for every query
+    # chunk, so it broadcasts into each tile's sdpa unchanged.
+    mask = None if key_mask is None else key_mask[:, None, None, :]
 
     def step(carry, qi):
-        return carry, sdpa(qi, k, v)
+        return carry, sdpa(qi, k, v, mask)
 
     _, outs = jax.lax.scan(step, None, qc)
     out = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, n * q_chunk, D)
@@ -161,7 +168,18 @@ class EfficientAttention(nn.Module):
     band_q_chunk: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        key_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """``key_mask`` ([B, T] bool, True = real position) excludes padded
+        positions from the key side — variable-length batched serving pads
+        sequences to a bucket length and masks the tail (serving.py).  The
+        Pallas / chunked-band fast paths don't carry per-batch masks; masked
+        calls route through dense masked SDPA.
+        """
         B, T, C = x.shape
         head_dim = self.dim // self.heads
 
@@ -174,6 +192,7 @@ class EfficientAttention(nn.Module):
             self.use_pallas
             and self.window_size is not None
             and deterministic
+            and key_mask is None
             and T >= self.pallas_min_seq
         ):
             from ..ops.window_attention import banded_attention
@@ -183,6 +202,7 @@ class EfficientAttention(nn.Module):
             self.band_q_chunk > 0
             and self.window_size is not None
             and deterministic
+            and key_mask is None
             and T >= 2 * self.band_q_chunk
         ):
             out = q_chunked_banded_sdpa(
@@ -192,6 +212,9 @@ class EfficientAttention(nn.Module):
             mask = None
             if self.window_size is not None:
                 mask = local_attention_mask(T, self.window_size)[None, None]
+            if key_mask is not None:
+                km = key_mask[:, None, None, :]
+                mask = km if mask is None else (mask & km)
             rng = (
                 self.make_rng("dropout")
                 if (self.dropout > 0 and not deterministic)
@@ -286,7 +309,11 @@ class MultiHeadLatentAttention(nn.Module):
         context: Optional[jnp.ndarray] = None,
         cond: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        key_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``key_mask`` ([B, S] bool over the kv sequence) excludes padded
+        key positions — used by variable-length batched serving (serving.py).
+        """
         B, T, C = x.shape
         head_dim = self.dim // self.heads
         rank = self.kv_lora_rank or (self.dim // 2)
@@ -315,15 +342,19 @@ class MultiHeadLatentAttention(nn.Module):
         mask = None
         if self.window_size is not None and context is None:
             mask = local_attention_mask(T, self.window_size)[None, None]
+        if key_mask is not None:
+            km = key_mask[:, None, None, :]
+            mask = km if mask is None else (mask & km)
 
         use_dropout = self.dropout > 0 and not deterministic
         if (
             self.q_chunk > 0
             and context is not None
             and not use_dropout
+            and self.window_size is None
             and T >= 2 * self.q_chunk
         ):
-            out = q_chunked_sdpa(q, k, v, self.q_chunk)
+            out = q_chunked_sdpa(q, k, v, self.q_chunk, key_mask=key_mask)
         else:
             rng = self.make_rng("dropout") if use_dropout else None
             out = sdpa(

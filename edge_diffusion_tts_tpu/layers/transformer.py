@@ -44,7 +44,13 @@ class DiffusionTransformerBlock(nn.Module):
         context: jnp.ndarray,
         cond: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        mel_mask: Optional[jnp.ndarray] = None,
+        ctx_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``mel_mask`` ([B, T] bool) / ``ctx_mask`` ([B, S] bool) exclude
+        padded key positions from self-/cross-attention respectively, so a
+        padded batched forward reproduces each row's unpadded numerics
+        (variable-length batched serving, serving.py)."""
         cond_dim = self.cond_dim or self.dim
 
         if self.use_adaln:
@@ -63,7 +69,7 @@ class DiffusionTransformerBlock(nn.Module):
             pallas_min_seq=self.pallas_min_seq,
             band_q_chunk=self.band_q_chunk,
             name="attn",
-        )(h, deterministic=deterministic)
+        )(h, deterministic=deterministic, key_mask=mel_mask)
 
         h = RMSNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         x = x + MultiHeadLatentAttention(
@@ -75,7 +81,7 @@ class DiffusionTransformerBlock(nn.Module):
             dtype=self.dtype,
             q_chunk=self.cross_q_chunk,
             name="cross_attn",
-        )(h, context=context, deterministic=deterministic)
+        )(h, context=context, deterministic=deterministic, key_mask=ctx_mask)
 
         if self.use_adaln:
             h = AdaLayerNorm(self.dim, cond_dim, dtype=self.dtype, name="norm3")(

@@ -150,9 +150,18 @@ class EdgeDiffusionDecoder(nn.Module):
         context: jnp.ndarray,
         t_cond: jnp.ndarray,
         deterministic: bool = True,
+        mel_mask: Optional[jnp.ndarray] = None,
+        ctx_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         for block in self.layers:
-            h = block(h, context=context, cond=t_cond, deterministic=deterministic)
+            h = block(
+                h,
+                context=context,
+                cond=t_cond,
+                deterministic=deterministic,
+                mel_mask=mel_mask,
+                ctx_mask=ctx_mask,
+            )
         return h
 
     def postlude(self, h: jnp.ndarray) -> jnp.ndarray:
@@ -168,12 +177,26 @@ class EdgeDiffusionDecoder(nn.Module):
         sem_features: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         pos_offset=0,
+        sem_mask: Optional[jnp.ndarray] = None,
+        mel_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``sem_mask`` ([B, S] bool) / ``mel_mask`` ([B, T] bool) mark real
+        (non-padded) positions for variable-length batched serving: padded
+        keys are excluded from cross-/self-attention, every other op is
+        per-position, so each row's valid frames match its unpadded forward
+        exactly (serving.py; tests/test_serving.py)."""
         h, context, t_cond = self.prelude(
             x_t, t, sem_idx=sem_idx, step_idx=step_idx,
             sem_features=sem_features, pos_offset=pos_offset,
         )
-        h = self.backbone(h, context, t_cond, deterministic=deterministic)
+        h = self.backbone(
+            h,
+            context,
+            t_cond,
+            deterministic=deterministic,
+            mel_mask=mel_mask,
+            ctx_mask=sem_mask,
+        )
         return self.postlude(h)
 
 

@@ -1,0 +1,248 @@
+"""Micro-batched serving for EdgeInference: exact variable-length batching.
+
+TPU serving constraint: everything under ``jit`` is compiled per static
+shape, so a naive server would recompile for every new (batch, token-length)
+pair.  This front-end makes the device see only a handful of program
+signatures while callers get per-request semantics:
+
+- requests are gathered into micro-batches (bounded by ``max_batch`` and
+  ``max_wait_ms``),
+- token sequences are padded to the next **bucket** length and the batch is
+  padded to exactly ``max_batch`` rows -> ONE compiled program per bucket,
+- a boolean ``sem_mask`` rides along; the decoder excludes padded keys from
+  attention (models/decoder.py ``sem_mask``/``mel_mask``), so each row's
+  valid frames are numerically the row's unpadded generation — batching is
+  a pure throughput optimization, never a quality tradeoff
+  (tests/test_serving.py asserts this against single-request runs).
+
+The reference has no serving story (its inference.py:56 is a single-request
+CLI/notebook path); this subsystem exists because padding + masking is the
+idiomatic way to batch ragged requests under XLA's static-shape model.
+
+``MicroBatcher`` is transport-agnostic (submit() returns a waitable ticket);
+``serve_tcp`` wraps it in a newline-delimited-JSON TCP loop; the CLI exposes
+``edge-diffusion-tts-tpu serve``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import socketserver
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n; raises for oversize requests."""
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(
+        f"request of {n} tokens exceeds the largest bucket {max(buckets)}"
+    )
+
+
+@dataclass
+class _Ticket:
+    """One queued request; ``wait()`` blocks until the batch it joined ran."""
+
+    tokens: np.ndarray
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+
+    def wait(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self.done.wait(timeout):
+            raise TimeoutError("generation did not complete in time")
+        if self.error is not None:
+            raise self.error
+        return self.result
+
+
+class MicroBatcher:
+    """Gathers requests into shape-bucketed, fixed-size padded batches.
+
+    ``generate_fn(sem_idx, sem_mask) -> mel`` is called with
+    ``sem_idx: int32 [max_batch, bucket]`` and ``sem_mask: bool`` of the same
+    shape; it returns ``[max_batch, 2 * bucket, n_mels]`` (EdgeInference
+    .generate_mel with ``sem_mask=...`` has exactly this contract).  Rows
+    beyond the live requests are padding; row i of the result is cropped to
+    ``2 * len(tokens_i)`` frames before being handed back.
+    """
+
+    def __init__(
+        self,
+        generate_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+        buckets: Sequence[int] = (128, 256, 512, 1024),
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+        pad_token: int = 0,
+    ):
+        self.generate_fn = generate_fn
+        self.buckets = tuple(sorted(buckets))
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self.pad_token = int(pad_token)
+        self._queue: "queue.Queue[_Ticket]" = queue.Queue()
+        self._closed = False
+        self.batches_run = 0  # observability; tests assert batching happened
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- client side ------------------------------------------------------
+
+    def submit(self, tokens: np.ndarray) -> _Ticket:
+        """Enqueue one request (1-D int token array); returns its ticket."""
+        tokens = np.asarray(tokens, np.int32)
+        if tokens.ndim != 1 or tokens.size == 0:
+            raise ValueError("tokens must be a non-empty 1-D int array")
+        pick_bucket(tokens.size, self.buckets)  # validate size up front
+        t = _Ticket(tokens)
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        self._queue.put(t)
+        return t
+
+    def generate(self, tokens: np.ndarray, timeout: float = 300.0) -> np.ndarray:
+        """Blocking convenience wrapper: submit + wait."""
+        return self.submit(tokens).wait(timeout)
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)  # wake the worker
+        self._worker.join(timeout=10.0)
+
+    # -- worker side ------------------------------------------------------
+
+    def _gather(self) -> list:
+        """Block for the first request, then drain more until max_batch or
+        the batching window closes."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_ms / 1e3
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                t = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if t is None:
+                self._queue.put(None)  # re-signal shutdown after this batch
+                break
+            batch.append(t)
+        return batch
+
+    def _run_bucket(self, tickets: list, bucket: int):
+        B = self.max_batch
+        sem_idx = np.full((B, bucket), self.pad_token, np.int32)
+        sem_mask = np.zeros((B, bucket), bool)
+        for i, t in enumerate(tickets):
+            sem_idx[i, : t.tokens.size] = t.tokens
+            sem_mask[i, : t.tokens.size] = True
+        try:
+            mel = np.asarray(self.generate_fn(sem_idx, sem_mask))
+            self.batches_run += 1
+            for i, t in enumerate(tickets):
+                t.result = mel[i, : 2 * t.tokens.size]
+                t.done.set()
+        except Exception as e:  # surface the failure on every ticket
+            for t in tickets:
+                t.error = e
+                t.done.set()
+
+    def _loop(self):
+        while not self._closed:
+            batch = self._gather()
+            if not batch:
+                continue
+            by_bucket: dict = {}
+            for t in batch:
+                by_bucket.setdefault(
+                    pick_bucket(t.tokens.size, self.buckets), []
+                ).append(t)
+            for bucket in sorted(by_bucket):
+                group = by_bucket[bucket]
+                # max_batch rows per program: split oversized groups
+                for i in range(0, len(group), self.max_batch):
+                    self._run_bucket(group[i : i + self.max_batch], bucket)
+
+
+# -- TCP transport ---------------------------------------------------------
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        for line in self.rfile:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                mel = self.server.batcher.generate(
+                    np.asarray(req["tokens"], np.int32),
+                    timeout=float(req.get("timeout", 300.0)),
+                )
+                resp = {"mel": np.asarray(mel, np.float32).tolist()}
+            except Exception as e:
+                resp = {"error": f"{type(e).__name__}: {e}"}
+            self.wfile.write((json.dumps(resp) + "\n").encode())
+            self.wfile.flush()
+
+
+class TTSServer(socketserver.ThreadingTCPServer):
+    """Newline-delimited-JSON TCP front-end over a MicroBatcher.
+
+    Protocol: one request per line ``{"tokens": [...], "timeout": s?}`` ->
+    one response line ``{"mel": [[...], ...]}`` (frames x n_mels) or
+    ``{"error": "..."}``.  Concurrent connections share the batcher, so
+    simultaneous requests ride the same device program.
+    """
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, batcher: MicroBatcher):
+        super().__init__(addr, _Handler)
+        self.batcher = batcher
+
+
+def serve_tcp(
+    batcher: MicroBatcher, host: str = "127.0.0.1", port: int = 7455
+) -> TTSServer:
+    """Start serving in a background thread; returns the server (``.shutdown()``
+    to stop).  Port 0 picks a free port (``server.server_address``)."""
+    server = TTSServer((host, port), batcher)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+def request_tts(
+    tokens: Sequence[int], host: str = "127.0.0.1", port: int = 7455,
+    timeout: float = 300.0,
+) -> np.ndarray:
+    """Minimal client for the line-JSON protocol; returns mel [frames, n_mels]."""
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        s.sendall(
+            (json.dumps({"tokens": list(map(int, tokens)),
+                         "timeout": timeout}) + "\n").encode()
+        )
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+    resp = json.loads(buf.decode())
+    if "error" in resp:
+        raise RuntimeError(resp["error"])
+    return np.asarray(resp["mel"], np.float32)

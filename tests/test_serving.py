@@ -1,0 +1,219 @@
+"""Serving tests: exact variable-length batching + micro-batcher behavior.
+
+The core claim: padding requests to a bucket and masking the tail gives
+EACH row numerics equal to its own unpadded run — batching is a pure
+throughput optimization (serving.py; decoder sem_mask/mel_mask).
+"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edge_diffusion_tts_tpu.config import CFG
+from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
+from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
+from edge_diffusion_tts_tpu.schedule import DiffusionSchedule
+from edge_diffusion_tts_tpu.inference import EdgeInference
+from edge_diffusion_tts_tpu.serving import (
+    MicroBatcher,
+    pick_bucket,
+    request_tts,
+    serve_tcp,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def small_cfg(**kw):
+    kw.setdefault("hidden", 32)
+    kw.setdefault("layers", 2)
+    kw.setdefault("heads", 2)
+    kw.setdefault("dropout", 0.0)
+    kw.setdefault("use_fsq", False)
+    kw.setdefault("codebook_size", 64)
+    kw.setdefault("out_dir", "/tmp/edt_test_runs")
+    return CFG(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Mask exactness
+# ---------------------------------------------------------------------------
+
+
+def test_decoder_mask_exactness():
+    # A padded+masked forward must reproduce the unpadded forward on the
+    # valid rows: attention is key-masked, everything else is per-position.
+    cfg = small_cfg()
+    dec = EdgeDiffusionDecoder(cfg)
+    S, S_pad = 6, 10
+    x = jax.random.normal(KEY, (1, 2 * S, cfg.n_mels))
+    t = jnp.array([77])
+    sem = jax.random.randint(jax.random.PRNGKey(1), (1, S), 0, 64)
+    params = init_decoder_params(dec, KEY, cfg)
+
+    ref = dec.apply(params, x, t, sem_idx=sem)
+
+    x_pad = jnp.pad(x, ((0, 0), (0, 2 * (S_pad - S)), (0, 0)),
+                    constant_values=3.21)  # junk tail must not leak
+    sem_pad = jnp.pad(sem, ((0, 0), (0, S_pad - S)))
+    sem_mask = jnp.arange(S_pad)[None, :] < S
+    mel_mask = jnp.arange(2 * S_pad)[None, :] < 2 * S
+    out = dec.apply(
+        params, x_pad, t, sem_idx=sem_pad, sem_mask=sem_mask, mel_mask=mel_mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[:, : 2 * S]), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_generate_mel_masked_batch_matches_single():
+    # Two requests of different lengths served as one padded masked batch;
+    # temperature=0 makes x_T deterministic so rows are comparable with the
+    # per-request unpadded programs.
+    cfg = small_cfg()
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, KEY, cfg)
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    inf = EdgeInference(cfg, schedule, dec.apply, params)
+
+    lens = (5, 8)
+    S_pad = 8
+    toks = [
+        np.asarray(
+            jax.random.randint(jax.random.PRNGKey(i), (n,), 0, 64), np.int32
+        )
+        for i, n in enumerate(lens)
+    ]
+    sem_idx = np.zeros((2, S_pad), np.int32)
+    sem_mask = np.zeros((2, S_pad), bool)
+    for i, tk in enumerate(toks):
+        sem_idx[i, : tk.size] = tk
+        sem_mask[i, : tk.size] = True
+
+    batched = inf.generate_mel(
+        jnp.asarray(sem_idx), num_steps=2, temperature=0.0,
+        sem_mask=jnp.asarray(sem_mask),
+    )
+    for i, tk in enumerate(toks):
+        single = inf.generate_mel(
+            jnp.asarray(tk[None]), num_steps=2, temperature=0.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched[i, : 2 * tk.size]),
+            np.asarray(single[0]),
+            atol=1e-5,
+        )
+
+
+# ---------------------------------------------------------------------------
+# MicroBatcher
+# ---------------------------------------------------------------------------
+
+
+def _fake_generate(sem_idx, sem_mask):
+    # Deterministic, shape-faithful stand-in for generate_mel: frame 2t and
+    # 2t+1 encode token t so crops are verifiable.
+    B, S = sem_idx.shape
+    mel = np.repeat(sem_idx.astype(np.float32), 2, axis=1)[..., None]
+    return np.broadcast_to(mel, (B, 2 * S, 4)).copy()
+
+
+def test_pick_bucket():
+    assert pick_bucket(1, (4, 8)) == 4
+    assert pick_bucket(4, (4, 8)) == 4
+    assert pick_bucket(5, (4, 8)) == 8
+    with pytest.raises(ValueError):
+        pick_bucket(9, (4, 8))
+
+
+def test_micro_batcher_batches_and_crops():
+    calls = []
+
+    def gen(sem_idx, sem_mask):
+        calls.append((sem_idx.shape, sem_mask.sum()))
+        return _fake_generate(sem_idx, sem_mask)
+
+    mb = MicroBatcher(gen, buckets=(4, 8), max_batch=4, max_wait_ms=100.0)
+    try:
+        toks = [np.arange(1, n + 1, dtype=np.int32) for n in (2, 3, 4)]
+        tickets = [mb.submit(t) for t in toks]
+        outs = [t.wait(30.0) for t in tickets]
+        for tk, out in zip(toks, outs):
+            assert out.shape == (2 * tk.size, 4)
+            np.testing.assert_array_equal(out[::2, 0], tk.astype(np.float32))
+        # all three requests fit one bucket-4 batch
+        assert mb.batches_run == 1
+        assert calls[0][0] == (4, 4)
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_bucket_split_and_error():
+    def gen(sem_idx, sem_mask):
+        if sem_idx.shape[1] == 8:
+            raise RuntimeError("boom")
+        return _fake_generate(sem_idx, sem_mask)
+
+    mb = MicroBatcher(gen, buckets=(4, 8), max_batch=4, max_wait_ms=100.0)
+    try:
+        ok = mb.submit(np.arange(1, 4, dtype=np.int32))     # bucket 4
+        bad = mb.submit(np.arange(1, 7, dtype=np.int32))    # bucket 8 -> boom
+        assert ok.wait(30.0).shape == (6, 4)
+        with pytest.raises(RuntimeError, match="boom"):
+            bad.wait(30.0)
+        with pytest.raises(ValueError):
+            mb.submit(np.arange(100, dtype=np.int32))  # oversize
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_concurrent_load():
+    mb = MicroBatcher(
+        _fake_generate, buckets=(8,), max_batch=4, max_wait_ms=20.0
+    )
+    results = {}
+
+    def client(i):
+        tk = np.full((3 + (i % 5),), i + 1, np.int32)
+        results[i] = (tk, mb.generate(tk, timeout=30.0))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30.0)
+        assert len(results) == 12
+        for i, (tk, out) in results.items():
+            assert out.shape == (2 * tk.size, 4)
+            np.testing.assert_array_equal(out[1::2, 0], tk.astype(np.float32))
+        # 12 requests, max_batch 4 -> at least 3 program runs, far fewer than 12
+        assert 3 <= mb.batches_run < 12
+    finally:
+        mb.close()
+
+
+# ---------------------------------------------------------------------------
+# TCP transport
+# ---------------------------------------------------------------------------
+
+
+def test_tcp_round_trip():
+    mb = MicroBatcher(
+        _fake_generate, buckets=(8,), max_batch=4, max_wait_ms=10.0
+    )
+    server = serve_tcp(mb, port=0)
+    host, port = server.server_address
+    try:
+        tk = [5, 6, 7]
+        mel = request_tts(tk, host=host, port=port, timeout=30.0)
+        assert mel.shape == (6, 4)
+        np.testing.assert_array_equal(mel[::2, 0], np.float32(tk))
+        with pytest.raises(RuntimeError, match="ValueError"):
+            request_tts([], host=host, port=port, timeout=30.0)
+    finally:
+        server.shutdown()
+        mb.close()
