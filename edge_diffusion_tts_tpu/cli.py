@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--max-batch", type=int, default=8)
     sv.add_argument("--max-wait-ms", type=float, default=5.0)
     sv.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim")
+    sv.add_argument("--mesh", type=int, default=0,
+                    help="shard each batch over N chips on the data axis "
+                         "(max-batch must be divisible by N)")
 
     mg = sub.add_parser(
         "migrate", help="convert a PyTorch-reference .pt checkpoint"
@@ -270,11 +273,30 @@ def main(argv=None):
         steps = args.steps or cfg.inference_steps
         buckets = tuple(int(b) for b in args.buckets.split(","))
 
-        def generate_fn(sem_idx, sem_mask):
-            return inf.generate_mel(
-                jnp.asarray(sem_idx), num_steps=steps,
-                sem_mask=jnp.asarray(sem_mask),
+        if args.mesh:
+            if args.max_batch % args.mesh:
+                raise SystemExit("--max-batch must be divisible by --mesh")
+            from .parallel import make_dp_generate
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh((args.mesh, 1))
+            prog = make_dp_generate(
+                inf._build_generate_mel(steps, masked=True), mesh, masked=True
             )
+            rng = jax.random.PRNGKey(0)
+
+            def generate_fn(sem_idx, sem_mask):
+                with mesh:
+                    return prog(
+                        inf.decoder_params, jnp.asarray(sem_idx), rng,
+                        jnp.float32(1.0), jnp.asarray(sem_mask),
+                    )
+        else:
+            def generate_fn(sem_idx, sem_mask):
+                return inf.generate_mel(
+                    jnp.asarray(sem_idx), num_steps=steps,
+                    sem_mask=jnp.asarray(sem_mask),
+                )
 
         batcher = MicroBatcher(
             generate_fn, buckets=buckets, max_batch=args.max_batch,

@@ -217,22 +217,28 @@ def make_dp_generate(
     inference_build: Callable,
     mesh: Mesh,
     axis: str = DATA_AXIS,
+    masked: bool = False,
 ) -> Callable:
     """Shard a batched generate program over the data axis.
 
     ``inference_build`` is e.g. ``EdgeInference._build_generate_mel(n)``'s
     underlying function ``(params, sem_idx, rng, temperature) -> mel``; the
     batched 32-utterance config (BASELINE.md) shards utterances over chips.
+    ``masked=True`` expects the serving variant with a trailing ``sem_mask``
+    [B, S] argument (serving.py ragged batches), sharded like the batch.
     """
     from jax.sharding import NamedSharding
 
+    in_shardings = [
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P(axis)),
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P()),
+    ]
+    if masked:
+        in_shardings.append(NamedSharding(mesh, P(axis)))
     return jax.jit(
         inference_build,
-        in_shardings=(
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P(axis)),
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P()),
-        ),
+        in_shardings=tuple(in_shardings),
         out_shardings=NamedSharding(mesh, P(axis)),
     )

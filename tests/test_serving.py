@@ -108,6 +108,35 @@ def test_generate_mel_masked_batch_matches_single():
         )
 
 
+def test_masked_generate_shards_over_mesh():
+    # The serving program (masked generate) sharded over the 8-device data
+    # axis equals the unsharded program (CLI serve --mesh path).
+    from edge_diffusion_tts_tpu.parallel import make_dp_generate
+    from edge_diffusion_tts_tpu.parallel.mesh import make_mesh
+
+    cfg = small_cfg(layers=1)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, KEY, cfg)
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    inf = EdgeInference(cfg, schedule, dec.apply, params)
+
+    B, S = 8, 8
+    rng = np.random.default_rng(0)
+    sem_idx = jnp.asarray(rng.integers(0, 64, (B, S)), jnp.int32)
+    sem_mask = jnp.asarray(rng.integers(0, 2, (B, S)) > 0).at[:, 0].set(True)
+
+    prog = inf._build_generate_mel(2, masked=True)
+    key = jax.random.PRNGKey(3)
+    ref = prog(params, sem_idx, key, jnp.float32(1.0), sem_mask)
+
+    mesh = make_mesh((8, 1))
+    with mesh:
+        out = make_dp_generate(prog, mesh, masked=True)(
+            params, sem_idx, key, jnp.float32(1.0), sem_mask
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # MicroBatcher
 # ---------------------------------------------------------------------------
