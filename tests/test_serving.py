@@ -108,6 +108,37 @@ def test_generate_mel_masked_batch_matches_single():
         )
 
 
+def test_generate_mel_masked_dpmpp():
+    # The masked program variant also serves the DPM-Solver++ sampler
+    # (v2-recipe serving): batched masked rows match single unpadded runs.
+    cfg = small_cfg(layers=1)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, KEY, cfg)
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    inf = EdgeInference(
+        cfg, schedule, dec.apply, params, sampler="dpmpp", prediction="v"
+    )
+    tk = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(9), (5,), 0, 64), np.int32
+    )
+    S_pad = 8
+    sem_idx = np.zeros((2, S_pad), np.int32)
+    sem_mask = np.zeros((2, S_pad), bool)
+    sem_idx[0, :5] = tk
+    sem_mask[0, :5] = True
+    sem_idx[1, :3] = tk[:3]
+    sem_mask[1, :3] = True
+    batched = inf.generate_mel(
+        jnp.asarray(sem_idx), num_steps=2, temperature=0.0,
+        sem_mask=jnp.asarray(sem_mask),
+    )
+    single = inf.generate_mel(jnp.asarray(tk[None]), num_steps=2,
+                              temperature=0.0)
+    np.testing.assert_allclose(
+        np.asarray(batched[0, :10]), np.asarray(single[0]), atol=1e-5
+    )
+
+
 def test_masked_generate_shards_over_mesh():
     # The serving program (masked generate) sharded over the 8-device data
     # axis equals the unsharded program (CLI serve --mesh path).
