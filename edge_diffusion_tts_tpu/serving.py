@@ -92,8 +92,24 @@ class MicroBatcher:
         self._queue: "queue.Queue[_Ticket]" = queue.Queue()
         self._closed = False
         self.batches_run = 0  # observability; tests assert batching happened
+        self.requests_served = 0
+        self.rows_utilized = 0  # live rows summed over batches (vs max_batch)
+        self.device_ms_total = 0.0  # wall time inside generate_fn
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        """Serving counters: batch occupancy is the throughput lever."""
+        b = max(self.batches_run, 1)
+        return {
+            "requests_served": self.requests_served,
+            "batches_run": self.batches_run,
+            "mean_batch_occupancy": round(
+                self.rows_utilized / (b * self.max_batch), 3
+            ),
+            "mean_batch_ms": round(self.device_ms_total / b, 3),
+            "queue_depth": self._queue.qsize(),
+        }
 
     # -- client side ------------------------------------------------------
 
@@ -150,8 +166,12 @@ class MicroBatcher:
             sem_idx[i, : t.tokens.size] = t.tokens
             sem_mask[i, : t.tokens.size] = True
         try:
+            t0 = time.monotonic()
             mel = np.asarray(self.generate_fn(sem_idx, sem_mask))
+            self.device_ms_total += (time.monotonic() - t0) * 1e3
             self.batches_run += 1
+            self.requests_served += len(tickets)
+            self.rows_utilized += len(tickets)
             for i, t in enumerate(tickets):
                 t.result = mel[i, : 2 * t.tokens.size]
                 t.done.set()
@@ -188,6 +208,11 @@ class _Handler(socketserver.StreamRequestHandler):
                 continue
             try:
                 req = json.loads(line)
+                if req.get("stats"):
+                    resp = {"stats": self.server.batcher.stats()}
+                    self.wfile.write((json.dumps(resp) + "\n").encode())
+                    self.wfile.flush()
+                    continue
                 mel = self.server.batcher.generate(
                     np.asarray(req["tokens"], np.int32),
                     timeout=float(req.get("timeout", 300.0)),

@@ -252,6 +252,10 @@ def test_micro_batcher_concurrent_load():
             np.testing.assert_array_equal(out[1::2, 0], tk.astype(np.float32))
         # 12 requests, max_batch 4 -> at least 3 program runs, far fewer than 12
         assert 3 <= mb.batches_run < 12
+        s = mb.stats()
+        assert s["requests_served"] == 12
+        assert 0 < s["mean_batch_occupancy"] <= 1.0
+        assert s["mean_batch_ms"] >= 0.0
     finally:
         mb.close()
 
