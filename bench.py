@@ -170,16 +170,25 @@ def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 300.0):
     attempt = 0
     while True:
         attempt += 1
+        # SIGTERM + grace instead of subprocess.run's timeout SIGKILL: a
+        # hard-killed in-flight backend init can itself wedge the tunnel
+        # for minutes (see CLAUDE.md), prolonging the outage being waited
+        # out.
+        p = subprocess.Popen(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=probe_timeout_s,
-                capture_output=True,
-            )
-            if r.returncode == 0:
+            if p.wait(timeout=probe_timeout_s) == 0:
                 return
         except subprocess.TimeoutExpired:
-            pass
+            p.terminate()
+            try:
+                p.wait(timeout=10.0)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
         if time.time() >= deadline:
             print(
                 f"bench: backend still unavailable after {attempt} probes / "

@@ -272,6 +272,25 @@ def main(argv=None):
         )
         steps = args.steps or cfg.inference_steps
         buckets = tuple(int(b) for b in args.buckets.split(","))
+        # Positional tables bound the servable token length: context rows
+        # cap S directly, mel rows cap 2*S.  Drop buckets the checkpoint's
+        # tables cannot address instead of failing on live traffic.
+        cap = min(cfg.max_ctx_positions, cfg.max_mel_positions // 2)
+        dropped = tuple(b for b in buckets if b > cap)
+        buckets = tuple(b for b in buckets if b <= cap)
+        if dropped:
+            print(
+                f"serve: dropping buckets {dropped} beyond this checkpoint's "
+                f"positional capacity ({cap} tokens; max_ctx_positions="
+                f"{cfg.max_ctx_positions}, max_mel_positions="
+                f"{cfg.max_mel_positions})",
+                flush=True,
+            )
+        if not buckets:
+            raise SystemExit(
+                f"no serve bucket fits the checkpoint's positional capacity "
+                f"({cap} tokens) — pass smaller --buckets"
+            )
 
         if args.mesh:
             if args.max_batch % args.mesh:
@@ -302,10 +321,12 @@ def main(argv=None):
             generate_fn, buckets=buckets, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
         )
-        # warm the per-bucket programs so first requests aren't compile-bound
+        # Warm the per-bucket programs so first requests aren't compile-bound:
+        # a length-b request routes to (and therefore traces) bucket b.
         for b in buckets:
-            batcher.generate(list(range(1, min(b, 4) + 1)))
+            batcher.generate([1] * b)
             print(f"serve: bucket {b} compiled", flush=True)
+        batcher.reset_stats()  # don't count warmup in serving counters
         server = serve_tcp(batcher, host=args.host, port=args.port)
         print(
             f"serving on {server.server_address[0]}:{server.server_address[1]} "

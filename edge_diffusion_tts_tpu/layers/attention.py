@@ -96,6 +96,7 @@ def q_chunked_banded_sdpa(
     v: jnp.ndarray,
     window: int,
     q_chunk: int,
+    key_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Windowed self-attention via query chunks over static k/v band slices.
 
@@ -120,6 +121,13 @@ def q_chunked_banded_sdpa(
     kp = jnp.pad(k, ((0, 0), (0, 0), (window, window + pad), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (window, window + pad), (0, 0)))
     qc = q.reshape(B, H, n, C, D).transpose(2, 0, 1, 3, 4)
+    # Optional per-batch key validity ([B, T] bool, e.g. ragged serving
+    # batches): pad alongside k so the same slice geometry applies.
+    kmp = (
+        None
+        if key_mask is None
+        else jnp.pad(key_mask, ((0, 0), (window, window + pad)))
+    )
 
     # Within-chunk band: row a attends col j iff 0 <= j - a <= 2w (col j of
     # the slice is global column i*C - w + j for rows starting at i*C).
@@ -135,6 +143,9 @@ def q_chunked_banded_sdpa(
         g = i * C - window + col_iota  # global column of each slice col
         valid = (g >= 0) & (g < T)
         mask = (band & valid[None, :])[None, None]
+        if kmp is not None:
+            kms = jax.lax.dynamic_slice_in_dim(kmp, i * C, kwin, axis=1)
+            mask = mask & kms[:, None, None, :]
         return carry, sdpa(qi, ks, vs, mask)
 
     _, outs = jax.lax.scan(step, None, (qc, jnp.arange(n)))
@@ -177,8 +188,9 @@ class EfficientAttention(nn.Module):
         """``key_mask`` ([B, T] bool, True = real position) excludes padded
         positions from the key side — variable-length batched serving pads
         sequences to a bucket length and masks the tail (serving.py).  The
-        Pallas / chunked-band fast paths don't carry per-batch masks; masked
-        calls route through dense masked SDPA.
+        Pallas kernel carries no per-batch mask (masked calls fall through),
+        but the chunked-band path does, so long masked serving batches keep
+        a bounded logits footprint.
         """
         B, T, C = x.shape
         head_dim = self.dim // self.heads
@@ -202,11 +214,11 @@ class EfficientAttention(nn.Module):
             self.band_q_chunk > 0
             and self.window_size is not None
             and deterministic
-            and key_mask is None
             and T >= 2 * self.band_q_chunk
         ):
             out = q_chunked_banded_sdpa(
-                q, k, v, self.window_size, self.band_q_chunk
+                q, k, v, self.window_size, self.band_q_chunk,
+                key_mask=key_mask,
             )
         else:
             mask = None

@@ -10,10 +10,14 @@ signatures while callers get per-request semantics:
 - token sequences are padded to the next **bucket** length and the batch is
   padded to exactly ``max_batch`` rows -> ONE compiled program per bucket,
 - a boolean ``sem_mask`` rides along; the decoder excludes padded keys from
-  attention (models/decoder.py ``sem_mask``/``mel_mask``), so each row's
-  valid frames are numerically the row's unpadded generation — batching is
-  a pure throughput optimization, never a quality tradeoff
-  (tests/test_serving.py asserts this against single-request runs).
+  attention (models/decoder.py ``sem_mask``/``mel_mask``), so padding and
+  batch neighbors contribute NOTHING to a row's denoising dynamics — given
+  the same initial noise, a row's valid frames equal its unpadded
+  single-request generation (tests/test_serving.py asserts this at
+  temperature=0, where x_T is deterministic).  At temperature>0 the noise
+  draw itself depends on the program shape (batch row, bucket), so a
+  batched sample is a different — identically distributed — instance than
+  a single-request sample, exactly as two different seeds are.
 
 The reference has no serving story (its inference.py:56 is a single-request
 CLI/notebook path); this subsystem exists because padding + masking is the
@@ -97,6 +101,13 @@ class MicroBatcher:
         self.device_ms_total = 0.0  # wall time inside generate_fn
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def reset_stats(self):
+        """Zero the serving counters (e.g. after warmup compiles)."""
+        self.batches_run = 0
+        self.requests_served = 0
+        self.rows_utilized = 0
+        self.device_ms_total = 0.0
 
     def stats(self) -> dict:
         """Serving counters: batch occupancy is the throughput lever."""

@@ -192,6 +192,18 @@ def test_q_chunked_banded_sdpa_matches_dense(T, chunk, window):
     out = q_chunked_banded_sdpa(q, k, v, window, chunk)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    # ragged key_mask (serving batches): compare on rows that keep at least
+    # one in-band key — fully-masked rows are uniform-softmax garbage that
+    # serving crops anyway
+    lens = [T - 2, T // 2]
+    key_mask = jnp.arange(T)[None, :] < jnp.asarray(lens)[:, None]
+    ref_m = dense_sdpa(q, k, v, mask & key_mask[:, None, None, :])
+    out_m = q_chunked_banded_sdpa(q, k, v, window, chunk, key_mask=key_mask)
+    for b, n in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(out_m[b, :, :n]), np.asarray(ref_m[b, :, :n]), atol=1e-6
+        )
+
 
 def test_efficient_attention_band_q_chunk_routing():
     # band_q_chunk routes EfficientAttention's XLA fallback through the
