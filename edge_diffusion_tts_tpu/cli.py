@@ -108,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--mesh", type=int, default=0,
                     help="shard each batch over N chips on the data axis "
                          "(max-batch must be divisible by N)")
+    sv.add_argument("--compile-cache", type=str, default=None,
+                    help="persistent XLA compilation-cache dir: server "
+                         "restarts reuse the per-bucket programs instead of "
+                         "recompiling at warmup")
 
     mg = sub.add_parser(
         "migrate", help="convert a PyTorch-reference .pt checkpoint"
@@ -253,6 +257,10 @@ def main(argv=None):
     elif args.command == "serve":
         import jax
         import jax.numpy as jnp
+
+        if args.compile_cache:
+            # Must be set before the first compile (the warmup loop below).
+            jax.config.update("jax_compilation_cache_dir", args.compile_cache)
 
         from .inference import EdgeInference
         from .models import EdgeDiffusionDecoder
