@@ -256,91 +256,27 @@ def main(argv=None):
 
     elif args.command == "serve":
         import jax
-        import jax.numpy as jnp
 
         if args.compile_cache:
-            # Must be set before the first compile (the warmup loop below).
+            # Must be set before the first compile (run_server's warmup).
             jax.config.update("jax_compilation_cache_dir", args.compile_cache)
 
-        from .inference import EdgeInference
-        from .models import EdgeDiffusionDecoder
-        from .schedule import DiffusionSchedule
-        from .serving import MicroBatcher, serve_tcp
-        from .training.checkpoint import restore_final_model
+        from .serving import run_server
 
-        params, cfg = restore_final_model(args.checkpoint)
-        decoder = EdgeDiffusionDecoder(cfg)
-        inf = EdgeInference(
-            cfg,
-            DiffusionSchedule.create(cfg.diff_steps),
-            decoder.apply,
-            {"params": params["decoder"]},
-            sampler=args.sampler,
-            prediction="v" if args.sampler == "dpmpp" else "eps",
-        )
-        steps = args.steps or cfg.inference_steps
-        buckets = tuple(int(b) for b in args.buckets.split(","))
-        # Positional tables bound the servable token length: context rows
-        # cap S directly, mel rows cap 2*S.  Drop buckets the checkpoint's
-        # tables cannot address instead of failing on live traffic.
-        cap = min(cfg.max_ctx_positions, cfg.max_mel_positions // 2)
-        dropped = tuple(b for b in buckets if b > cap)
-        buckets = tuple(b for b in buckets if b <= cap)
-        if dropped:
-            print(
-                f"serve: dropping buckets {dropped} beyond this checkpoint's "
-                f"positional capacity ({cap} tokens; max_ctx_positions="
-                f"{cfg.max_ctx_positions}, max_mel_positions="
-                f"{cfg.max_mel_positions})",
-                flush=True,
+        try:
+            server, batcher = run_server(
+                args.checkpoint,
+                host=args.host,
+                port=args.port,
+                steps=args.steps,
+                buckets=tuple(int(b) for b in args.buckets.split(",")),
+                max_batch=args.max_batch,
+                max_wait_ms=args.max_wait_ms,
+                sampler=args.sampler,
+                mesh=args.mesh,
             )
-        if not buckets:
-            raise SystemExit(
-                f"no serve bucket fits the checkpoint's positional capacity "
-                f"({cap} tokens) — pass smaller --buckets"
-            )
-
-        if args.mesh:
-            if args.max_batch % args.mesh:
-                raise SystemExit("--max-batch must be divisible by --mesh")
-            from .parallel import make_dp_generate
-            from .parallel.mesh import make_mesh
-
-            mesh = make_mesh((args.mesh, 1))
-            prog = make_dp_generate(
-                inf._build_generate_mel(steps, masked=True), mesh, masked=True
-            )
-            rng = jax.random.PRNGKey(0)
-
-            def generate_fn(sem_idx, sem_mask):
-                with mesh:
-                    return prog(
-                        inf.decoder_params, jnp.asarray(sem_idx), rng,
-                        jnp.float32(1.0), jnp.asarray(sem_mask),
-                    )
-        else:
-            def generate_fn(sem_idx, sem_mask):
-                return inf.generate_mel(
-                    jnp.asarray(sem_idx), num_steps=steps,
-                    sem_mask=jnp.asarray(sem_mask),
-                )
-
-        batcher = MicroBatcher(
-            generate_fn, buckets=buckets, max_batch=args.max_batch,
-            max_wait_ms=args.max_wait_ms,
-        )
-        # Warm the per-bucket programs so first requests aren't compile-bound:
-        # a length-b request routes to (and therefore traces) bucket b.
-        for b in buckets:
-            batcher.generate([1] * b)
-            print(f"serve: bucket {b} compiled", flush=True)
-        batcher.reset_stats()  # don't count warmup in serving counters
-        server = serve_tcp(batcher, host=args.host, port=args.port)
-        print(
-            f"serving on {server.server_address[0]}:{server.server_address[1]} "
-            f"(steps={steps}, buckets={buckets}, max_batch={args.max_batch})",
-            flush=True,
-        )
+        except ValueError as e:
+            raise SystemExit(str(e))
         try:
             import threading
 

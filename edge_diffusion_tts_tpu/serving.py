@@ -262,6 +262,109 @@ def serve_tcp(
     return server
 
 
+def run_server(
+    checkpoint: str,
+    host: str = "127.0.0.1",
+    port: int = 7455,
+    steps: Optional[int] = None,
+    buckets: Sequence[int] = (128, 256, 512, 1024),
+    max_batch: int = 8,
+    max_wait_ms: float = 5.0,
+    sampler: str = "ddim",
+    mesh: int = 0,
+    warmup: bool = True,
+    verbose: bool = True,
+):
+    """Checkpoint -> warmed MicroBatcher + live TCP server (CLI ``serve``).
+
+    Returns ``(server, batcher)`` so callers own shutdown (``server
+    .shutdown(); batcher.close()``); the CLI blocks on top of this.
+    Buckets beyond the checkpoint's positional-table capacity (context rows
+    cap S, mel rows cap 2S) are dropped up front instead of failing on live
+    traffic.  ``mesh=N`` shards each micro-batch over N chips on the data
+    axis (``max_batch`` must divide evenly).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .inference import EdgeInference
+    from .models import EdgeDiffusionDecoder
+    from .schedule import DiffusionSchedule
+    from .training.checkpoint import restore_final_model
+
+    def say(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    params, cfg = restore_final_model(checkpoint)
+    decoder = EdgeDiffusionDecoder(cfg)
+    inf = EdgeInference(
+        cfg,
+        DiffusionSchedule.create(cfg.diff_steps),
+        decoder.apply,
+        {"params": params["decoder"]},
+        sampler=sampler,
+        prediction="v" if sampler == "dpmpp" else "eps",
+    )
+    steps = steps or cfg.inference_steps
+
+    cap = min(cfg.max_ctx_positions, cfg.max_mel_positions // 2)
+    dropped = tuple(b for b in buckets if b > cap)
+    buckets = tuple(b for b in buckets if b <= cap)
+    if dropped:
+        say(
+            f"serve: dropping buckets {dropped} beyond this checkpoint's "
+            f"positional capacity ({cap} tokens)"
+        )
+    if not buckets:
+        raise ValueError(
+            f"no serve bucket fits the checkpoint's positional capacity "
+            f"({cap} tokens) — pass smaller buckets"
+        )
+
+    if mesh:
+        if max_batch % mesh:
+            raise ValueError("max_batch must be divisible by mesh")
+        from .parallel import make_dp_generate
+        from .parallel.mesh import make_mesh
+
+        dev_mesh = make_mesh((mesh, 1))
+        prog = make_dp_generate(
+            inf._build_generate_mel(steps, masked=True), dev_mesh, masked=True
+        )
+        rng = jax.random.PRNGKey(0)
+
+        def generate_fn(sem_idx, sem_mask):
+            with dev_mesh:
+                return prog(
+                    inf.decoder_params, jnp.asarray(sem_idx), rng,
+                    jnp.float32(1.0), jnp.asarray(sem_mask),
+                )
+    else:
+        def generate_fn(sem_idx, sem_mask):
+            return inf.generate_mel(
+                jnp.asarray(sem_idx), num_steps=steps,
+                sem_mask=jnp.asarray(sem_mask),
+            )
+
+    batcher = MicroBatcher(
+        generate_fn, buckets=buckets, max_batch=max_batch,
+        max_wait_ms=max_wait_ms,
+    )
+    if warmup:
+        # A length-b request routes to (and therefore compiles) bucket b.
+        for b in buckets:
+            batcher.generate([1] * b)
+            say(f"serve: bucket {b} compiled")
+        batcher.reset_stats()
+    server = serve_tcp(batcher, host=host, port=port)
+    say(
+        f"serving on {server.server_address[0]}:{server.server_address[1]} "
+        f"(steps={steps}, buckets={buckets}, max_batch={max_batch})"
+    )
+    return server, batcher
+
+
 def request_tts(
     tokens: Sequence[int], host: str = "127.0.0.1", port: int = 7455,
     timeout: float = 300.0,

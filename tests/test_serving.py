@@ -260,6 +260,36 @@ def test_micro_batcher_concurrent_load():
         mb.close()
 
 
+def test_run_server_end_to_end(tmp_path):
+    # Checkpoint -> run_server -> TCP request: the full `serve` CLI flow
+    # (restore, bucket-capacity clamp, warmup compile, live request).
+    from edge_diffusion_tts_tpu.serving import run_server
+    from edge_diffusion_tts_tpu.training.checkpoint import save_final_model
+
+    cfg = small_cfg(layers=1, max_ctx_positions=16, max_mel_positions=32)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, KEY, cfg)["params"]
+    ckpt = str(tmp_path / "final")
+    save_final_model(ckpt, {"decoder": params, "encoder": {"unused": 0}}, cfg)
+
+    server, batcher = run_server(
+        ckpt, port=0, steps=1, buckets=(8, 64), max_batch=2,
+        max_wait_ms=5.0, verbose=False,
+    )
+    try:
+        # bucket 64 exceeds the 16-token positional capacity -> dropped
+        assert batcher.buckets == (8,)
+        assert batcher.stats()["requests_served"] == 0  # warmup not counted
+        host, port = server.server_address
+        mel = request_tts([1, 2, 3], host=host, port=port, timeout=120.0)
+        assert mel.shape == (6, cfg.n_mels)
+        assert np.isfinite(mel).all()
+        assert batcher.stats()["requests_served"] == 1
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
 # ---------------------------------------------------------------------------
 # TCP transport
 # ---------------------------------------------------------------------------
