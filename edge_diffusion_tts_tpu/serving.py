@@ -144,6 +144,15 @@ class MicroBatcher:
         self._closed = True
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=10.0)
+        # Fail anything still queued so no client blocks until its timeout.
+        while True:
+            try:
+                t = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if t is not None:
+                t.error = RuntimeError("MicroBatcher closed")
+                t.done.set()
 
     # -- worker side ------------------------------------------------------
 
@@ -196,16 +205,22 @@ class MicroBatcher:
             batch = self._gather()
             if not batch:
                 continue
-            by_bucket: dict = {}
-            for t in batch:
-                by_bucket.setdefault(
-                    pick_bucket(t.tokens.size, self.buckets), []
-                ).append(t)
-            for bucket in sorted(by_bucket):
-                group = by_bucket[bucket]
-                # max_batch rows per program: split oversized groups
-                for i in range(0, len(group), self.max_batch):
-                    self._run_bucket(group[i : i + self.max_batch], bucket)
+            try:
+                by_bucket: dict = {}
+                for t in batch:
+                    by_bucket.setdefault(
+                        pick_bucket(t.tokens.size, self.buckets), []
+                    ).append(t)
+                for bucket in sorted(by_bucket):
+                    group = by_bucket[bucket]
+                    # max_batch rows per program: split oversized groups
+                    for i in range(0, len(group), self.max_batch):
+                        self._run_bucket(group[i : i + self.max_batch], bucket)
+            except Exception as e:  # defensive: a worker crash must not
+                for t in batch:     # leave clients blocked until timeout
+                    if not t.done.is_set():
+                        t.error = e
+                        t.done.set()
 
 
 # -- TCP transport ---------------------------------------------------------
