@@ -108,6 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--mesh", type=int, default=0,
                     help="shard each batch over N chips on the data axis "
                          "(max-batch must be divisible by N)")
+    sv.add_argument("--seed", type=int, default=0,
+                    help="base PRNG seed; sampling noise is a fresh fold "
+                         "of it per device batch")
     sv.add_argument("--compile-cache", type=str, default=None,
                     help="persistent XLA compilation-cache dir: server "
                          "restarts reuse the per-bucket programs instead of "
@@ -274,6 +277,7 @@ def main(argv=None):
                 max_wait_ms=args.max_wait_ms,
                 sampler=args.sampler,
                 mesh=args.mesh,
+                seed=args.seed,
             )
         except ValueError as e:
             raise SystemExit(str(e))

@@ -200,6 +200,23 @@ class EfficientAttention(nn.Module):
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, H, T, d]
         q, k, v = qkv[0], qkv[1], qkv[2]
 
+        band_chunk = self.band_q_chunk
+        if (
+            band_chunk == 0
+            and key_mask is not None
+            and self.use_pallas
+            and self.window_size is not None
+            and deterministic
+            and T >= self.pallas_min_seq
+        ):
+            # The Pallas kernel carries no key mask, so masked (serving)
+            # batches at kernel-worthy lengths would otherwise fall all the
+            # way back to the dense [T, T] score matrix the kernel exists to
+            # avoid (~2 GB of fp32 logits per layer-call at a 2048-token
+            # bucket).  Route them through the chunked-band XLA path, which
+            # supports key_mask with a bounded logits tile.
+            band_chunk = min(512, T // 2)
+
         if (
             self.use_pallas
             and self.window_size is not None
@@ -211,13 +228,13 @@ class EfficientAttention(nn.Module):
 
             out = banded_attention(q, k, v, self.window_size)
         elif (
-            self.band_q_chunk > 0
+            band_chunk > 0
             and self.window_size is not None
             and deterministic
-            and T >= 2 * self.band_q_chunk
+            and T >= 2 * band_chunk
         ):
             out = q_chunked_banded_sdpa(
-                q, k, v, self.window_size, self.band_q_chunk,
+                q, k, v, self.window_size, band_chunk,
                 key_mask=key_mask,
             )
         else:

@@ -95,6 +95,7 @@ class MicroBatcher:
         self.pad_token = int(pad_token)
         self._queue: "queue.Queue[_Ticket]" = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()  # orders submit() against close()
         self.batches_run = 0  # observability; tests assert batching happened
         self.requests_served = 0
         self.rows_utilized = 0  # live rows summed over batches (vs max_batch)
@@ -131,9 +132,13 @@ class MicroBatcher:
             raise ValueError("tokens must be a non-empty 1-D int array")
         pick_bucket(tokens.size, self.buckets)  # validate size up front
         t = _Ticket(tokens)
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
-        self._queue.put(t)
+        # Check-and-put under the lock: a submit racing close() must either
+        # raise here or have its ticket visible to close()'s drain — never
+        # land in a dead queue after the drain already ran.
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put(t)
         return t
 
     def generate(self, tokens: np.ndarray, timeout: float = 300.0) -> np.ndarray:
@@ -141,8 +146,9 @@ class MicroBatcher:
         return self.submit(tokens).wait(timeout)
 
     def close(self):
-        self._closed = True
-        self._queue.put(None)  # wake the worker
+        with self._lock:
+            self._closed = True
+            self._queue.put(None)  # wake the worker
         self._worker.join(timeout=10.0)
         # Fail anything still queued so no client blocks until its timeout.
         while True:
@@ -157,14 +163,18 @@ class MicroBatcher:
     # -- worker side ------------------------------------------------------
 
     def _gather(self) -> list:
-        """Block for the first request, then drain more until max_batch or
-        the batching window closes."""
+        """Block for the first request, then drain more until the batching
+        window closes or enough tickets arrived to fill every bucket's
+        program.  The limit is max_batch PER BUCKET, not overall: mixed-
+        bucket traffic split by _loop would otherwise run systematically
+        half-empty programs while same-bucket requests sat in the queue."""
         first = self._queue.get()
         if first is None:
             return []
         batch = [first]
         deadline = time.monotonic() + self.max_wait_ms / 1e3
-        while len(batch) < self.max_batch:
+        limit = self.max_batch * len(self.buckets)
+        while len(batch) < limit:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
@@ -193,7 +203,9 @@ class MicroBatcher:
             self.requests_served += len(tickets)
             self.rows_utilized += len(tickets)
             for i, t in enumerate(tickets):
-                t.result = mel[i, : 2 * t.tokens.size]
+                # copy(): a view would pin the whole padded batch array in
+                # memory until every client released its crop
+                t.result = mel[i, : 2 * t.tokens.size].copy()
                 t.done.set()
         except Exception as e:  # surface the failure on every ticket
             for t in tickets:
@@ -289,6 +301,7 @@ def run_server(
     mesh: int = 0,
     warmup: bool = True,
     verbose: bool = True,
+    seed: int = 0,
 ):
     """Checkpoint -> warmed MicroBatcher + live TCP server (CLI ``serve``).
 
@@ -298,7 +311,18 @@ def run_server(
     cap S, mel rows cap 2S) are dropped up front instead of failing on live
     traffic.  ``mesh=N`` shards each micro-batch over N chips on the data
     axis (``max_batch`` must divide evenly).
+
+    The decoder's output head is interpreted per the CHECKPOINT's training
+    objective (``cfg.use_v_prediction``), not per the sampler flag — serving
+    a v-trained model as epsilon silently denoises garbage.  Sampling noise
+    is a fresh fold of ``PRNGKey(seed)`` per device batch (the batcher's
+    worker calls generate_fn serially), so repeated requests draw new
+    samples; per-request reproducibility at temperature 1.0 is NOT provided,
+    because a row's noise also depends on the batch it rode in (see the
+    module docstring).
     """
+    import itertools
+
     import jax
     import jax.numpy as jnp
 
@@ -319,9 +343,11 @@ def run_server(
         decoder.apply,
         {"params": params["decoder"]},
         sampler=sampler,
-        prediction="v" if sampler == "dpmpp" else "eps",
+        prediction="v" if cfg.use_v_prediction else "eps",
     )
     steps = steps or cfg.inference_steps
+    base_key = jax.random.PRNGKey(seed)
+    batch_counter = itertools.count()
 
     cap = min(cfg.max_ctx_positions, cfg.max_mel_positions // 2)
     dropped = tuple(b for b in buckets if b > cap)
@@ -347,9 +373,9 @@ def run_server(
         prog = make_dp_generate(
             inf._build_generate_mel(steps, masked=True), dev_mesh, masked=True
         )
-        rng = jax.random.PRNGKey(0)
 
         def generate_fn(sem_idx, sem_mask):
+            rng = jax.random.fold_in(base_key, next(batch_counter))
             with dev_mesh:
                 return prog(
                     inf.decoder_params, jnp.asarray(sem_idx), rng,
@@ -357,8 +383,9 @@ def run_server(
                 )
     else:
         def generate_fn(sem_idx, sem_mask):
+            rng = jax.random.fold_in(base_key, next(batch_counter))
             return inf.generate_mel(
-                jnp.asarray(sem_idx), num_steps=steps,
+                jnp.asarray(sem_idx), num_steps=steps, rng=rng,
                 sem_mask=jnp.asarray(sem_mask),
             )
 
@@ -366,6 +393,7 @@ def run_server(
         generate_fn, buckets=buckets, max_batch=max_batch,
         max_wait_ms=max_wait_ms,
     )
+    batcher.inference = inf  # observability: sampler/prediction inspection
     if warmup:
         # A length-b request routes to (and therefore compiles) bucket b.
         for b in buckets:

@@ -228,6 +228,41 @@ def test_efficient_attention_band_q_chunk_routing():
     )
 
 
+def test_efficient_attention_masked_pallas_length_uses_chunked(monkeypatch):
+    # The Pallas banded kernel carries no key mask, so masked (serving)
+    # batches at kernel-worthy lengths must route through the chunked-band
+    # XLA path — NOT fall back to the dense [T, T] score matrix (which is
+    # ~2 GB of fp32 logits per layer-call at a 2048-token bucket).
+    import edge_diffusion_tts_tpu.layers.attention as att
+
+    calls = []
+    real = att.q_chunked_banded_sdpa
+
+    def spy(*a, **kw):
+        calls.append(a[0].shape)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(att, "q_chunked_banded_sdpa", spy)
+    T = 48
+    x = jax.random.normal(KEY, (2, T, 16))
+    key_mask = jnp.arange(T)[None, :] < jnp.asarray([T, T // 3])[:, None]
+    # use_pallas with a low crossover, band_q_chunk unset: the masked call
+    # can't take the Pallas branch and must auto-pick a chunk
+    mod = EfficientAttention(
+        16, heads=4, dropout=0.0, window_size=5,
+        use_pallas=True, pallas_min_seq=16,
+    )
+    dense = EfficientAttention(16, heads=4, dropout=0.0, window_size=5)
+    params = dense.init(KEY, x)
+    out = mod.apply(params, x, key_mask=key_mask)
+    assert calls, "masked long input must use the chunked-band path"
+    ref = dense.apply(params, x, key_mask=key_mask)
+    for b, n in enumerate([T, T // 3]):
+        np.testing.assert_allclose(
+            np.asarray(out[b, :n]), np.asarray(ref[b, :n]), atol=1e-6
+        )
+
+
 def test_mla_cross_q_chunk_matches_dense():
     # The q_chunk routing inside MLA must be numerically transparent: the same
     # params applied with chunking on/off agree, and short sequences

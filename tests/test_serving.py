@@ -272,22 +272,83 @@ def test_run_server_end_to_end(tmp_path):
     ckpt = str(tmp_path / "final")
     save_final_model(ckpt, {"decoder": params, "encoder": {"unused": 0}}, cfg)
 
+    # steps=2, not 1: with this zero-init out_proj decoder the 1-step x0 is
+    # sqrt(abar_999)*x_T ~ 0*x_T, which would hide the per-batch noise fold
+    # the test below asserts on.
     server, batcher = run_server(
-        ckpt, port=0, steps=1, buckets=(8, 64), max_batch=2,
+        ckpt, port=0, steps=2, buckets=(8, 64), max_batch=2,
         max_wait_ms=5.0, verbose=False,
     )
     try:
         # bucket 64 exceeds the 16-token positional capacity -> dropped
         assert batcher.buckets == (8,)
         assert batcher.stats()["requests_served"] == 0  # warmup not counted
+        # The decoder head is interpreted per the checkpoint's training
+        # objective (cfg.use_v_prediction defaults True), NOT per the
+        # sampler flag: serving a v-trained model as epsilon would silently
+        # denoise garbage.
+        assert batcher.inference.prediction == "v"
         host, port = server.server_address
         mel = request_tts([1, 2, 3], host=host, port=port, timeout=120.0)
         assert mel.shape == (6, cfg.n_mels)
         assert np.isfinite(mel).all()
         assert batcher.stats()["requests_served"] == 1
+        # Sampling noise folds a fresh per-batch key: the same tokens again
+        # draw a new temperature-1.0 sample, not a bit-identical replay.
+        mel2 = request_tts([1, 2, 3], host=host, port=port, timeout=120.0)
+        assert np.abs(mel2 - mel).max() > 1e-6
     finally:
         server.shutdown()
         batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(np.asarray([1, 2, 3], np.int32))
+
+
+def test_run_server_eps_checkpoint(tmp_path):
+    # An eps-trained checkpoint (use_v_prediction=False) serves as epsilon.
+    from edge_diffusion_tts_tpu.serving import run_server
+    from edge_diffusion_tts_tpu.training.checkpoint import save_final_model
+
+    cfg = small_cfg(layers=1, max_ctx_positions=16, max_mel_positions=32,
+                    use_v_prediction=False)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, KEY, cfg)["params"]
+    ckpt = str(tmp_path / "final_eps")
+    save_final_model(ckpt, {"decoder": params, "encoder": {"unused": 0}}, cfg)
+
+    server, batcher = run_server(
+        ckpt, port=0, steps=1, buckets=(8,), max_batch=2,
+        max_wait_ms=5.0, verbose=False, warmup=False,
+    )
+    try:
+        assert batcher.inference.prediction == "eps"
+    finally:
+        server.shutdown()
+        batcher.close()
+    # DPM-Solver++ needs a v/x0 head; EdgeInference's guard must surface.
+    with pytest.raises(ValueError, match="v-prediction"):
+        run_server(ckpt, port=0, steps=1, buckets=(8,), sampler="dpmpp",
+                   verbose=False, warmup=False)
+
+
+def test_micro_batcher_mixed_buckets_fill():
+    # Mixed-bucket traffic must fill each bucket's program: 4 short + 4 long
+    # submitted together -> exactly two FULL batches, not four half-empty
+    # ones (the gather limit is max_batch PER BUCKET).
+    mb = MicroBatcher(
+        _fake_generate, buckets=(4, 8), max_batch=4, max_wait_ms=200.0
+    )
+    try:
+        toks = [np.full((3,), i + 1, np.int32) for i in range(4)]
+        toks += [np.full((6,), i + 1, np.int32) for i in range(4)]
+        tickets = [mb.submit(t) for t in toks]
+        outs = [t.wait(30.0) for t in tickets]
+        for tk, out in zip(toks, outs):
+            assert out.shape == (2 * tk.size, 4)
+        assert mb.batches_run == 2
+        assert mb.stats()["mean_batch_occupancy"] == 1.0
+    finally:
+        mb.close()
 
 
 # ---------------------------------------------------------------------------

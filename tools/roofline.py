@@ -48,13 +48,17 @@ V5E_HBM_BPS = 819e9
 AUDIO_SECS = 5.0
 
 
-def analyze(name, fn, args, measured_ms=None, dtype_note="f32", scale=1.0):
+def analyze(name, fn, args, measured_ms=None, dtype_note="f32", scale=1.0,
+            prejitted=False):
     """``scale`` multiplies flops/bytes: XLA's cost analysis counts a
     while/scan body ONCE regardless of trip count, so rolled loops (the
-    1000-step DDPM scan) pass scale=trip_count; unrolled programs pass 1."""
+    1000-step DDPM scan) pass scale=trip_count; unrolled programs pass 1.
+    ``prejitted`` lowers ``fn`` directly (preserving e.g. donate_argnums)
+    instead of wrapping it in a fresh jax.jit."""
     import jax
 
-    compiled = jax.jit(fn).lower(*args).compile()
+    jfn = fn if prejitted else jax.jit(fn)
+    compiled = jfn.lower(*args).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
@@ -209,32 +213,13 @@ def main():
     batch = {"wav": jax.random.normal(
         jax.random.PRNGKey(5), (32, tcfg.segment_len)) * 0.1}
 
-    # make_diffusion_step returns a jitted fn; lower it directly
-    compiled = step.lower(state, batch, jax.random.PRNGKey(6)).compile()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    flops = float(ca.get("flops", 0.0))
-    bytes_ = float(ca.get("bytes accessed", 0.0))
-    m_ms = measured.get("train_step_b32")
-    sol_ms = max(flops / V5E_MXU_FLOPS, bytes_ / V5E_HBM_BPS) * 1e3
-    row = {
-        "metric": "train_step_b32",
-        "gflops": round(flops / 1e9, 3),
-        "mbytes": round(bytes_ / 1e6, 2),
-        "sol_compute_ms": round(flops / V5E_MXU_FLOPS * 1e3, 4),
-        "sol_hbm_ms": round(bytes_ / V5E_HBM_BPS * 1e3, 4),
-        "sol_ms": round(sol_ms, 4),
-        "bound": ("compute" if flops / V5E_MXU_FLOPS >= bytes_ / V5E_HBM_BPS
-                  else "memory"),
-        "dtype": "f32",
-    }
-    if m_ms is not None:
-        row["measured_ms"] = m_ms
-        row["x_over_sol"] = round(m_ms / sol_ms, 1)
-        row["pct_of_sol"] = round(100.0 * sol_ms / m_ms, 1)
-    print(json.dumps(row), flush=True)
-    results.append(row)
+    # make_diffusion_step returns a jitted fn (donate_argnums=0); lower it
+    # directly so the analysis sees the program the epoch loop actually runs
+    results.append(
+        analyze("train_step_b32", step,
+                (state, batch, jax.random.PRNGKey(6)),
+                measured.get("train_step_b32"), prejitted=True)
+    )
 
     # long-form 40 s single program, analyzed as the FULLY-DENSE route (XLA
     # masked self-attention + dense cross-attention, cross_q_chunk=0): that
