@@ -35,6 +35,9 @@ class SemanticEncoder(nn.Module):
     hubert_cfg: HubertConfig = HubertConfig()
     use_dropout: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Mesh axis the batch shards over, for global-batch VQ EMA statistics
+    # under shard_map data parallelism (see VectorQuantizer.axis_name).
+    vq_axis_name: "str | None" = None
 
     @property
     def codebook_size(self) -> int:
@@ -54,7 +57,8 @@ class SemanticEncoder(nn.Module):
             )
         else:
             self.vq = VectorQuantizer(
-                cfg.semantic_dim, cfg.codebook_size, commit=cfg.vq_commit
+                cfg.semantic_dim, cfg.codebook_size, commit=cfg.vq_commit,
+                axis_name=self.vq_axis_name,
             )
 
     def extract_hubert(

@@ -33,6 +33,13 @@ class VectorQuantizer(nn.Module):
     decay: float = 0.99
     epsilon: float = 1e-5
     reset_unused_every: int = 100
+    # Mesh axis the batch is sharded over (shard_map data parallelism).
+    # When set, the EMA statistics are psum'd so the update equals the
+    # single-device big-batch update (a pmean of per-shard EMA results would
+    # dilute cluster counts by the shard count and falsely kill live codes),
+    # and dead-code resets draw identical replacements on every shard from
+    # the all-gathered batch.
+    axis_name: "str | None" = None
 
     def setup(self):
         init_key = jax.random.PRNGKey(0)
@@ -98,8 +105,14 @@ class VectorQuantizer(nn.Module):
         """
         one_hot = jax.nn.one_hot(idx, self.codebook_size, dtype=jnp.float32)
         n = jnp.sum(one_hot, axis=0)
-        ema_n = self.ema_cluster_size.value * self.decay + n * (1.0 - self.decay)
         dw = one_hot.T @ flat
+        if self.axis_name is not None:
+            # Global-batch statistics: n/dw are SUMS over batch rows, so the
+            # big-batch-equivalent reduction is psum, applied to the raw
+            # stats BEFORE the EMA blend (see axis_name docstring).
+            n = jax.lax.psum(n, self.axis_name)
+            dw = jax.lax.psum(dw, self.axis_name)
+        ema_n = self.ema_cluster_size.value * self.decay + n * (1.0 - self.decay)
         ema_w = self.ema_w.value * self.decay + dw * (1.0 - self.decay)
         codebook = ema_w / jnp.clip(ema_n, self.epsilon)[:, None]
 
@@ -111,13 +124,37 @@ class VectorQuantizer(nn.Module):
             # Random batch vectors as replacements: permute batch rows, then
             # for each dead code pick a (deterministically scattered) row.
             key = self.make_rng("vq")
-            perm = jax.random.permutation(key, flat.shape[0])
+            cand = flat
+            if self.axis_name is not None:
+                # Every shard must overwrite dead codes with IDENTICAL
+                # vectors (the codebook is replicated state).  The candidate
+                # pool and key are made shard-invariant via psum-scatter
+                # rather than all_gather: psum outputs carry the replicated
+                # vma type, so the updated vq_state stays expressible with
+                # out_specs P() in the DP step (all_gather results are
+                # conservatively typed as varying).
+                ax = self.axis_name
+                rows = flat.shape[0]
+                buf = jnp.zeros(
+                    (jax.lax.axis_size(ax) * rows, flat.shape[1]), flat.dtype
+                )
+                cand = jax.lax.psum(
+                    jax.lax.dynamic_update_slice_in_dim(
+                        buf, flat, jax.lax.axis_index(ax) * rows, 0
+                    ),
+                    ax,
+                )
+                # Raw uint32 key words summed across shards: deterministic
+                # and identical everywhere (callers fold the step rng per
+                # shard, so the local "vq" stream differs).
+                key = jax.lax.psum(key, ax)
+            perm = jax.random.permutation(key, cand.shape[0])
             # Rank of each dead code among dead codes -> which batch row it takes
             dead_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
-            row = jnp.take(perm, jnp.clip(dead_rank, 0, flat.shape[0] - 1))
-            replacement = jnp.take(flat, row, axis=0)
+            row = jnp.take(perm, jnp.clip(dead_rank, 0, cand.shape[0] - 1))
+            replacement = jnp.take(cand, row, axis=0)
             replace_mask = (
-                dead & (dead_rank < flat.shape[0]) & do_reset
+                dead & (dead_rank < cand.shape[0]) & do_reset
             )[:, None]
             codebook = jnp.where(replace_mask, replacement, codebook)
             ema_w = jnp.where(replace_mask, replacement, ema_w)

@@ -34,6 +34,11 @@ from .sequence_parallel import (
     make_seq_parallel_generate,
     seq_parallel_generate,
 )
+from .tensor_parallel import (
+    encoder_param_shardings,
+    make_tp_encode,
+    shard_encoder_params,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -51,6 +56,9 @@ __all__ = [
     "make_dp_diffusion_step",
     "make_dp_generate",
     "make_dp_progressive_step",
+    "encoder_param_shardings",
+    "make_tp_encode",
+    "shard_encoder_params",
     "host_local_batch",
     "init_multihost",
     "make_mesh",

@@ -67,10 +67,16 @@ def init_multihost(
         if explicit:
             raise
         return 0, 1
-    except RuntimeError:
-        # Backend already initialized (e.g. called late in a test process):
-        # report the topology it came up with instead of re-initializing.
-        if explicit:
+    except RuntimeError as e:
+        # Discriminate by TYPE: jax.distributed's own precondition checks
+        # ("called more than once" / "backend already initialized") raise
+        # plain RuntimeError before any network activity and may degrade to
+        # reporting the existing topology; an actual runtime failure (e.g. a
+        # coordinator connect timeout on a real pod) is an XlaRuntimeError —
+        # a RuntimeError SUBCLASS — and must propagate, else this host would
+        # silently bring up a single-process backend while the rest of the
+        # pod hangs in collective setup.
+        if explicit or isinstance(e, jax.errors.JaxRuntimeError):
             raise
         return jax.process_index(), jax.process_count()
     return jax.process_index(), jax.process_count()

@@ -278,6 +278,17 @@ class PPTrainer(Trainer):
             return super()._decode(
                 params, x_t, t, rng=rng, deterministic=deterministic, **cond
             )
+        if cond.get("sem_mask") is not None or cond.get("mel_mask") is not None:
+            # The staged backbone does not thread attention key masks through
+            # the microbatch tick schedule; masked (variable-length serving)
+            # batches are a serving-path feature — serve with the DP path
+            # (serving.run_server mesh=N) instead of a PP-packed tree.
+            raise NotImplementedError(
+                "pipeline-parallel decode does not support sem_mask/mel_mask; "
+                "use the data-parallel serving path for masked batches"
+            )
+        cond.pop("sem_mask", None)
+        cond.pop("mel_mask", None)
         rest = {"params": params["pp_rest"]}
         h0, context, t_cond = self.decoder.apply(
             rest, x_t, t, method=self.decoder.prelude, **cond

@@ -54,20 +54,31 @@ def make_seq_parallel_generate(
     mesh: Mesh,
     num_steps: int,
     axis: str = DATA_AXIS,
-    prediction: str = "eps",
+    prediction: Optional[str] = None,
 ):
     """Build a jitted ``(params, sem_idx, x_T) -> x0`` that shards the mel
     TIME dimension of one long utterance over ``mesh.shape[axis]`` devices.
 
-    ``x_T.shape[1]`` must divide by the axis size.  Semantics match
-    ``schedule.ddim_sample`` (same grid, eta=0, returns final x0).
+    ``x_T.shape[1]`` must divide by the axis size (checked at trace time —
+    a silent remainder would drop frames and shift every shard's positional
+    offsets after the first all_gather).  ``prediction`` defaults to the
+    checkpoint's training objective (``cfg.use_v_prediction``), the same
+    rule EdgeInference applies.  Semantics match ``schedule.ddim_sample``
+    (same grid, eta=0, returns final x0).
     """
     n = mesh.shape[axis]
     stride = max(schedule.T // num_steps, 1)
     ts = schedule.get_schedule_for_steps(num_steps)
+    if prediction is None:
+        prediction = "v" if cfg.use_v_prediction else "eps"
 
     def shard_fn(params, sem_idx, x):
         B, T, D = x.shape
+        if T % n:
+            raise ValueError(
+                f"sequence length {T} must divide by the {n}-device "
+                f"'{axis}' axis (pad the mel frames to a multiple)"
+            )
         T_loc = T // n
         M = seq_margin(cfg)
         Te = min(T, T_loc + 2 * M)
@@ -113,7 +124,7 @@ def seq_parallel_generate(
     num_steps: int,
     mesh: Mesh,
     axis: str = DATA_AXIS,
-    prediction: str = "eps",
+    prediction: Optional[str] = None,
 ) -> jnp.ndarray:
     """One-shot convenience wrapper around make_seq_parallel_generate."""
     fn = make_seq_parallel_generate(

@@ -200,6 +200,110 @@ def test_train_driver_on_mesh(tmp_path):
     assert abs(losses_dp[-1] - losses_sd[-1]) < 0.5 * max(losses_sd[-1], 0.1)
 
 
+def test_vq_ema_sharded_matches_big_batch():
+    """VectorQuantizer.axis_name: EMA statistics under shard_map must equal
+    the single-device big-batch update — a pmean of per-shard EMA results
+    would dilute cluster counts by the shard count and falsely kill codes
+    used fewer than shard-count times per global batch."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from edge_diffusion_tts_tpu.models.vq import VectorQuantizer
+
+    dim, K, B, T = 4, 16, 8, 4
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, T, dim))
+    key = jax.random.PRNGKey(1)
+    mesh = make_mesh((8, 1))
+
+    vq1 = VectorQuantizer(dim, K, reset_unused_every=0)
+    variables = vq1.init({"params": key, "vq": key}, z, train=False)
+    _, ref_state = vq1.apply(
+        variables, z, train=True, mutable=["vq_state"], rngs={"vq": key}
+    )
+
+    vq8 = VectorQuantizer(dim, K, reset_unused_every=0, axis_name="data")
+
+    def local(variables, z_loc, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        _, st = vq8.apply(
+            variables, z_loc, train=True, mutable=["vq_state"],
+            rngs={"vq": key},
+        )
+        return st
+
+    with mesh:
+        dp_state = jax.jit(
+            shard_map(
+                local, mesh=mesh, in_specs=(P(), P("data"), P()),
+                out_specs=P(),
+            )
+        )(variables, z, key)
+
+    for name in ("ema_cluster_size", "ema_w", "codebook"):
+        np.testing.assert_allclose(
+            np.asarray(dp_state["vq_state"][name]),
+            np.asarray(ref_state["vq_state"][name]),
+            atol=1e-6,
+            err_msg=name,
+        )
+    # The global batch has B*T = 32 assignments; diluted per-shard stats
+    # would sum to decay*K + (1-decay)*32/8 instead.
+    n_new = np.asarray(dp_state["vq_state"]["ema_cluster_size"]).sum()
+    assert abs(n_new - (0.99 * K + 0.01 * B * T)) < 1e-4
+
+
+def test_vq_reset_sharded_uses_real_vectors():
+    """Dead-code resets under shard_map must install IDENTICAL real batch
+    vectors on every shard — not a per-shard draw averaged into a degenerate
+    mean row."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from edge_diffusion_tts_tpu.models.vq import VectorQuantizer
+
+    dim, K, B, T = 4, 64, 8, 2  # 16 assignments over 64 codes -> many dead
+    z = jax.random.normal(jax.random.PRNGKey(2), (B, T, dim))
+    key = jax.random.PRNGKey(3)
+    mesh = make_mesh((8, 1))
+
+    vq8 = VectorQuantizer(dim, K, reset_unused_every=1, axis_name="data")
+    variables = vq8.init({"params": key, "vq": key}, z, train=False)
+
+    def local(variables, z_loc, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        _, st = vq8.apply(
+            variables, z_loc, train=True, mutable=["vq_state"],
+            rngs={"vq": key},
+        )
+        return st
+
+    with mesh:
+        st = jax.jit(
+            shard_map(
+                local, mesh=mesh, in_specs=(P(), P("data"), P()),
+                out_specs=P(),
+            )
+        )(variables, z, key)
+
+    codebook = np.asarray(st["vq_state"]["codebook"])
+    flat = np.asarray(z.reshape(-1, dim), np.float32)
+    # Recompute the assignment counts under the INITIAL codebook to find the
+    # dead codes the update replaced (a code used exactly once also ends at
+    # ema_n == 1.0, so ema_n alone cannot identify resets).
+    cb0 = np.asarray(variables["vq_state"]["codebook"])
+    d2 = ((flat[:, None, :] - cb0[None, :, :]) ** 2).sum(-1)
+    counts = np.bincount(d2.argmin(1), minlength=K)
+    dead = np.where(counts == 0)[0]
+    reset_rows = dead[: flat.shape[0]]  # only #candidates codes get replaced
+    assert reset_rows.size > 0, "test setup must produce dead codes"
+    for r in reset_rows[: min(8, reset_rows.size)]:
+        d = np.abs(flat - codebook[r]).max(axis=1).min()
+        assert d < 1e-6, (
+            f"reset code {r} is not a real batch vector (min dist {d}): "
+            "per-shard draws were averaged"
+        )
+
+
 def test_dp_exact_steps():
     """exact variants of the DP phase-2/3 steps run and EMA-update teacher."""
     n = 8
@@ -346,10 +450,27 @@ def test_seq_parallel_generate_matches_single_device():
     def model_fn(x, t, si):
         return dec.apply({"params": params}, x, t, sem_idx=sem, step_idx=si)
 
-    ref = ddim_sample(schedule, model_fn, x_T, 4)
-
     mesh = make_mesh((n, 1))
+
+    # Sharding exactness, eps interpretation: bitwise-close.
+    ref_eps = ddim_sample(schedule, model_fn, x_T, 4, prediction="eps")
+    fn_eps = make_seq_parallel_generate(
+        cfg, dec, schedule, mesh, num_steps=4, prediction="eps"
+    )
+    np.testing.assert_allclose(
+        np.asarray(fn_eps(params, sem, x_T)), np.asarray(ref_eps), atol=1e-5
+    )
+
+    # Default interpretation comes from cfg.use_v_prediction (True here).
+    # Looser tolerance: the v->eps->x0 roundtrip divides by sqrt(abar_t)
+    # (~1e-2 at late t), amplifying slice-vs-full XLA fusion rounding.
+    ref = ddim_sample(schedule, model_fn, x_T, 4, prediction="v")
     fn = make_seq_parallel_generate(cfg, dec, schedule, mesh, num_steps=4)
     out = fn(params, sem, x_T)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # Non-divisible T is a hard error, not a silent frame drop.
+    with pytest.raises(ValueError, match="divide"):
+        fn2 = make_seq_parallel_generate(cfg, dec, schedule, mesh, num_steps=2)
+        fn2(params, sem[:, : (T - 8) // 2],
+            jax.random.normal(jax.random.PRNGKey(3), (1, T - 9, cfg.n_mels)))
