@@ -117,6 +117,38 @@ def main(smoke: bool = False):
         "batch_speedup_per_request": round(ms_single / (ms_masked / B), 2),
     })
 
+    # bf16 module compute on the masked batch program (params stay f32) —
+    # the fastest flagship decode path in BENCH_all; measures whether that
+    # carries over to the padded/masked serving batch.
+    dec16 = EdgeDiffusionDecoder(cfg, dtype=jnp.bfloat16)
+
+    def batch_chain16(b, bucket, idx, smask, mmask):
+        def body(key, params):
+            x_T = jax.random.normal(key, (b, bucket * 2, cfg.n_mels))
+
+            def model_fn(x, t, si):
+                return dec16.apply(
+                    {"params": params}, x, t, sem_idx=idx, step_idx=si,
+                    sem_mask=smask, mel_mask=mmask,
+                )
+
+            x0 = ddim_sample(schedule, model_fn, x_T, steps)
+            return x0[0, 0, 0]
+
+        return scan_chain_builder(body, (params,))
+
+    ms16 = fit_device_ms(
+        batch_chain16(B, BUCKET, sem_idx, sem_mask_j, mel_mask_j),
+        reps=reps, runs=runs,
+    )["device_ms"]
+    emit({
+        "metric": f"serve_b{B}_bucket{BUCKET}_masked_bf16",
+        "value": round(ms16, 3), "unit": "ms/batch",
+        "per_request_ms": round(ms16 / B, 3),
+        "utt_per_s": round(1e3 * B / ms16, 1),
+        "speedup_vs_f32": round(ms_masked / ms16, 2),
+    })
+
 
 if __name__ == "__main__":
     main(smoke="--smoke" in sys.argv)
