@@ -164,6 +164,11 @@ class CFG:
     progressive_exact: bool = False
     consistency_epochs: int = 10
     consistency_weight: float = 1.0
+    # Phase-1 auxiliary loss pulling token_emb(sem_idx) toward the trained
+    # sem_proj(features) context (stop-gradient), so a phase-1-only (v2
+    # recipe) checkpoint serves correctly through the token path inference
+    # uses.  0 disables (pure reference v2 objective).
+    token_align_weight: float = 0.1
     # True = adjacent-timestep EMA-teacher consistency (Song et al.);
     # False = the reference's independent-two-t objective.
     consistency_exact: bool = False

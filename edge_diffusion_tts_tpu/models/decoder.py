@@ -168,6 +168,18 @@ class EdgeDiffusionDecoder(nn.Module):
         """LayerNorm + zero-init output head (prediction starts at zero)."""
         return self.out_proj(self.final_norm(h)).astype(jnp.float32)
 
+    def align_contexts(self, sem_idx: jnp.ndarray, sem_features: jnp.ndarray):
+        """Both conditioning embeddings for the same utterance:
+        ``(token_emb(sem_idx), sem_proj(sem_features))``.
+
+        Used by the phase-1 token-alignment auxiliary loss (training/steps
+        .py): the diffusion objective conditions through sem_features (the
+        v2 recipe's STE gradient path, reference train_v2.py:132), but
+        inference/serving condition through sem_idx (reference inference
+        .py:44) — without alignment a phase-1-only checkpoint would serve
+        through an untrained token embedding."""
+        return self.token_emb(sem_idx), self.sem_proj(sem_features)
+
     def __call__(
         self,
         x_t: jnp.ndarray,

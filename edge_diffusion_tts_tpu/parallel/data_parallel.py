@@ -84,7 +84,10 @@ def _make_dp_step(
             lambda p, u: p + u.astype(p.dtype), state.params, updates
         )
         new_teacher = (
-            ema_update(state.teacher, new_params["decoder"], teacher_ema_decay)
+            ema_update(
+                state.teacher, new_params["decoder"],
+                trainer._teacher_decay(new_opt_state, teacher_ema_decay),
+            )
             if teacher_ema_decay is not None and state.teacher is not None
             else state.teacher
         )

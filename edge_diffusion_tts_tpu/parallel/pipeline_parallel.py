@@ -273,6 +273,12 @@ class PPTrainer(Trainer):
             data_axis=data_axis,
         )
 
+    def _context_pair(self, params, sem_idx, sem_features):
+        # token_emb/sem_proj live prelude-side: in pp_rest on a packed tree.
+        if is_pp_packed(params):
+            params = params["pp_rest"]
+        return super()._context_pair(params, sem_idx, sem_features)
+
     def _decode(self, params, x_t, t, rng=None, deterministic=True, **cond):
         if not is_pp_packed(params):
             return super()._decode(

@@ -290,9 +290,20 @@ class LongFormPipeline:
             _, mean, std = normalize_mel(chunk_mel_log)
             lin = np.asarray(jnp.exp(denormalize_mel(x_ref, mean, std)))[0].T
 
+            # Boundary chunks keep full weight at the sequence edges: the
+            # fade-in/out only makes sense against a neighboring chunk, and
+            # a weight-0 edge frame would otherwise be emitted as silence
+            # (acc=0/clip(wsum=0) = 0 — a click at stream start/end).
+            win = window
+            if i == 0 or i == num_chunks - 1:
+                win = window.copy()
+                if i == 0:
+                    win[0, :fade] = 1.0
+                if i == num_chunks - 1:
+                    win[0, -fade:] = 1.0
             f0 = i * self.hop_frames
-            acc[:, f0 : f0 + self.chunk_frames] += lin * window
-            wsum[:, f0 : f0 + self.chunk_frames] += window
+            acc[:, f0 : f0 + self.chunk_frames] += lin * win
+            wsum[:, f0 : f0 + self.chunk_frames] += win
 
             # Frames before the NEXT chunk's fade-in are final now.
             final_upto = (

@@ -25,18 +25,13 @@ import optax
 
 from ..config import CFG
 from ..ops.mel import MelFrontend
-from ..schedule import DiffusionSchedule, DPMSolverPP
+from ..schedule import DiffusionSchedule, DPMSolverPP, _bcast
 from ..utils.audio import normalize_mel
 from .state import TrainState, ema_update
 
 
 def _mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.square(a - b))
-
-
-def _bcast_tbl(table: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-timestep scalars and broadcast to [B, 1, 1]."""
-    return jnp.take(table, t)[:, None, None]
 
 
 def _cosine_sim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -124,6 +119,27 @@ class Trainer:
         mel_n, _, _ = normalize_mel(mel)
         return mel_n
 
+    def _context_pair(self, params, sem_idx, sem_features):
+        """(token context, features context) — see decoder.align_contexts.
+        PPTrainer overrides this to unwrap its packed parameter layout."""
+        return self.decoder.apply(
+            {"params": params}, sem_idx, sem_features,
+            method=self.decoder.align_contexts,
+        )
+
+    def _teacher_decay(self, opt_state, base: float):
+        """Effective EMA decay for this data step.
+
+        Under gradient accumulation the optimizer only applies an update
+        every k-th step; the reference EMAs the teacher after every OPTIMIZER
+        step (train.py:240-249), so on the k-1 accumulation-only steps the
+        teacher must not move (decay 1.0).  ``opt_state`` is the MultiSteps
+        state AFTER tx.update: mini_step wraps to 0 exactly when an update
+        was applied."""
+        if self.cfg.grad_accumulation > 1:
+            return jnp.where(opt_state.mini_step == 0, base, 1.0)
+        return base
+
     # -- phase 1: diffusion -------------------------------------------------
 
     def make_diffusion_loss(self, vq_weight: Optional[float] = None) -> Callable:
@@ -139,9 +155,23 @@ class Trainer:
             mel_n = self._mel_normalized(batch["wav"])
             B = mel_n.shape[0]
 
-            (z_q, _, vq_loss, ppl, used), new_vq_state = self._encode(
+            (z_q, sem_idx, vq_loss, ppl, used), new_vq_state = self._encode(
                 params, vq_state, batch, k_enc, train=True
             )
+
+            # Token-embedding alignment: the diffusion objective conditions
+            # through sem_features (STE gradient into the encoder, v2 recipe)
+            # so token_emb — the path inference/serving actually uses
+            # (inference.py generate_mel) — would otherwise receive no
+            # gradient until phase 2.  Pull token_emb(sem_idx) toward the
+            # (stopped) trained features context so a phase-1-only (train_v2)
+            # checkpoint serves through tokens correctly.
+            align_loss = jnp.asarray(0.0, jnp.float32)
+            if cfg.token_align_weight > 0:
+                ctx_tok, ctx_feat = self._context_pair(
+                    params["decoder"], sem_idx, jax.lax.stop_gradient(z_q)
+                )
+                align_loss = _mse(ctx_tok, jax.lax.stop_gradient(ctx_feat))
 
             # Classifier-free-guidance conditioning dropout, per sample
             # (the reference drops per batch, train_v2.py:118-119; per-sample
@@ -170,13 +200,18 @@ class Trainer:
                 target = noise
                 x0_pred = schedule.predict_x0_from_eps(x_t, t, pred)
             diff_loss = _mse(pred, target)
-            loss = diff_loss + vq_weight * vq_loss
+            loss = (
+                diff_loss
+                + vq_weight * vq_loss
+                + cfg.token_align_weight * align_loss
+            )
 
             x0_pred = jax.lax.stop_gradient(x0_pred)
             metrics = {
                 "loss": loss,
                 "diff_loss": diff_loss,
                 "vq_loss": vq_loss,
+                "align_loss": align_loss,
                 "perplexity": ppl,
                 "used_codes": used,
                 "x0_mse": _mse(x0_pred, mel_n),
@@ -322,10 +357,10 @@ class Trainer:
 
             # Solve for the x0 whose single DDIM step t -> t_next lands on
             # x_tgt:  x_tgt = sab_n x0 + s1m_n (x_t - sab_t x0) / s1m_t.
-            sab_t = _bcast_tbl(schedule.sqrt_alpha_bar, t)
-            s1m_t = _bcast_tbl(schedule.sqrt_one_minus_alpha_bar, t)
-            sab_n = _bcast_tbl(schedule.sqrt_alpha_bar, t_next)
-            s1m_n = _bcast_tbl(schedule.sqrt_one_minus_alpha_bar, t_next)
+            sab_t = _bcast(schedule.sqrt_alpha_bar, t)
+            s1m_t = _bcast(schedule.sqrt_one_minus_alpha_bar, t)
+            sab_n = _bcast(schedule.sqrt_alpha_bar, t_next)
+            s1m_n = _bcast(schedule.sqrt_one_minus_alpha_bar, t_next)
             denom = sab_n - s1m_n * sab_t / s1m_t
             x0_target = (x_tgt - (s1m_n / s1m_t) * x_t) / jnp.where(
                 jnp.abs(denom) < 1e-6, 1e-6, denom
@@ -382,7 +417,10 @@ class Trainer:
                 lambda p, u: p + u.astype(p.dtype), state.params, updates
             )
             new_teacher = (
-                ema_update(state.teacher, new_params["decoder"], ema_decay)
+                ema_update(
+                    state.teacher, new_params["decoder"],
+                    self._teacher_decay(new_opt_state, ema_decay),
+                )
                 if state.teacher is not None
                 else None
             )
@@ -550,7 +588,8 @@ class Trainer:
                     lambda p, u: p + u.astype(p.dtype), state.params, updates
                 )
                 new_teacher = ema_update(
-                    state.teacher, new_params["decoder"], ema_decay
+                    state.teacher, new_params["decoder"],
+                    self._teacher_decay(new_opt_state, ema_decay),
                 )
                 return (
                     state.replace(
@@ -594,28 +633,44 @@ class Trainer:
 
     # -- validation ----------------------------------------------------------
 
-    def make_validate_fn(self, num_steps: int = 4, order: int = 2) -> Callable:
+    def make_validate_fn(
+        self, num_steps: int = 4, order: int = 2,
+        conditioning: str = "features",
+    ) -> Callable:
         """4-step DPM-Solver++ generation scored by cosine similarity to GT.
 
         Reference: train_v2.py:166-206.  Returns a jitted
         ``(params, vq_state, batch, rng) -> metrics`` function.
+
+        ``conditioning`` selects the decoder context path to score:
+        "features" (sem_features/sem_proj — the v2 recipe's training and
+        serving path) or "tokens" (sem_idx/token_emb — the v1 inference
+        path, which the distillation phases train).  The driver validates
+        each phase through the path that phase trains.
         """
         cfg = self.cfg
         solver = DPMSolverPP(self.schedule, order=order)
+        if conditioning not in ("features", "tokens"):
+            raise ValueError(f"unknown conditioning {conditioning!r}")
 
         @jax.jit
         def validate(params, vq_state, batch, rng):
             k_enc, k_x = jax.random.split(rng)
             mel_n = self._mel_normalized(batch["wav"])
-            (z_q, _, _, _, _), _ = self._encode(
+            (z_q, sem_idx, _, _, _), _ = self._encode(
                 params, vq_state, batch, k_enc, train=False
             )
             B, T, _ = mel_n.shape
             x_T = jax.random.normal(k_x, mel_n.shape, mel_n.dtype)
 
             def model_fn(x, t, step_idx):
+                kw = (
+                    dict(sem_features=z_q)
+                    if conditioning == "features"
+                    else dict(sem_idx=sem_idx)
+                )
                 return self._decode(
-                    params["decoder"], x, t, sem_features=z_q, step_idx=step_idx
+                    params["decoder"], x, t, step_idx=step_idx, **kw
                 )
 
             x0 = solver.sample(model_fn, x_T, num_steps, max_t=cfg.max_timestep)
@@ -627,7 +682,13 @@ class Trainer:
         return validate
 
     def make_eval_eps_fn(self) -> Callable:
-        """Epsilon-MSE on a validation batch (reference: visualization.py:18-44)."""
+        """Epsilon-MSE on a validation batch (reference: visualization.py:18-44).
+
+        Timesteps are drawn from [1, cfg.max_timestep), the same range the
+        diffusion phase trains on — sampling the full [1, diff_steps) would
+        mix in never-trained timesteps (t >= 950 by default) and add
+        systematic off-distribution error to the best_diffusion selection
+        metric."""
         cfg = self.cfg
         schedule = self.schedule
 
@@ -639,7 +700,7 @@ class Trainer:
             (z_q, sem_idx, _, _, _), _ = self._encode(
                 params, vq_state, batch, k_enc, train=False
             )
-            t = jax.random.randint(k_t, (B,), 1, cfg.diff_steps)
+            t = jax.random.randint(k_t, (B,), 1, cfg.max_timestep)
             noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
             x_t, _ = schedule.q_sample(mel_n, t, noise)
             pred = self._decode(

@@ -148,28 +148,48 @@ def make_visualization_hook(
     batch1 = {k: jnp.asarray(v[:1]) for k, v in val_batch.items()}
     prediction = "v" if cfg.use_v_prediction else "eps"
 
+    # One compiled program per ladder rung: the hook fires every
+    # plot_every_steps, and an eager 4/8/16-step DDIM ladder would dispatch
+    # hundreds of individual ops through the device runtime each time
+    # (per-op dispatch dominates on a tunneled TPU).  Params are arguments,
+    # not captures (CLAUDE.md: captures become HLO constants).
+    def _make_gen(num_steps: int):
+        @jax.jit
+        def gen_jit(params, vq_state, wav, rng):
+            k_enc, k_x = jax.random.split(rng)
+            mel_n = trainer._mel_normalized(wav)
+            (_, sem_idx, _, _, _), _ = trainer._encode(
+                params, vq_state, {"wav": wav}, k_enc, train=False
+            )
+            x_T = jax.random.normal(k_x, mel_n.shape)
+
+            def model_fn(x, t, si):
+                return trainer._decode(
+                    params["decoder"], x, t, sem_idx=sem_idx, step_idx=si
+                )
+
+            return ddim_sample(
+                trainer.schedule, model_fn, x_T, num_steps,
+                prediction=prediction,
+            )[0]
+
+        return gen_jit
+
+    steps_list = (4, 8, 16)
+    gens = {n: _make_gen(n) for n in steps_list}
+
     def hook(step: int, state):
         if cfg.plot_every_steps <= 0 or step % cfg.plot_every_steps:
             return
         rng = jax.random.PRNGKey(step)
         mel_n = trainer._mel_normalized(batch1["wav"])
-        (_, sem_idx, _, _, _), _ = trainer._encode(
-            state.params, state.vq_state, batch1, rng, train=False
-        )
 
         def gen(num_steps, rng):
-            x_T = jax.random.normal(rng, mel_n.shape)
+            return gens[num_steps](
+                state.params, state.vq_state, batch1["wav"], rng
+            )
 
-            def model_fn(x, t, si):
-                return trainer._decode(
-                    state.params["decoder"], x, t, sem_idx=sem_idx, step_idx=si
-                )
-
-            return ddim_sample(
-                trainer.schedule, model_fn, x_T, num_steps, prediction=prediction
-            )[0]
-
-        visualize_generation(gen, mel_n[0], step, run_dir, steps_list=(4, 8, 16))
+        visualize_generation(gen, mel_n[0], step, run_dir, steps_list=steps_list)
 
     return hook
 
@@ -220,6 +240,14 @@ def train(
     )
     schedule = DiffusionSchedule.create(cfg.diff_steps, cfg.beta_start, cfg.beta_end)
 
+    # Generators / one-shot iterables: every epoch (and validation pass)
+    # re-iterates the loaders, and steps_per_epoch needs len() — materialize
+    # anything that can't be re-iterated.
+    if train_loader is not None and not hasattr(train_loader, "__len__"):
+        train_loader = list(train_loader)
+    if val_loader is not None and not hasattr(val_loader, "__len__"):
+        val_loader = list(val_loader)
+
     steps_per_epoch = max(len(train_loader), 1)
     total_steps = steps_per_epoch * max(
         cfg.diffusion_epochs
@@ -228,7 +256,12 @@ def train(
         + cfg.consistency_epochs,
         1,
     )
-    tx = make_optimizer(cfg, total_steps)
+    # The warmup/cosine schedule advances once per OPTIMIZER UPDATE, and
+    # under optax.MultiSteps that is once per grad_accumulation data steps —
+    # size the horizon in updates or warmup stretches accumulation-x longer
+    # (and the cosine only traverses 1/accumulation of its decay).
+    total_updates = -(-total_steps // max(cfg.grad_accumulation, 1))
+    tx = make_optimizer(cfg, total_updates)
     trainer = Trainer(cfg, encoder, decoder, schedule, tx)
     state = create_train_state(cfg, params, vq_state, tx)
 
@@ -249,7 +282,7 @@ def train(
 
         trainer.tx = make_optimizer(
             cfg,
-            total_steps,
+            total_updates,
             learning_rate=optax.constant_schedule(cfg.lr_consistency),
         )
 
@@ -368,9 +401,42 @@ def train(
         resume = cfg.ckpt_path if os.path.isdir(
             os.path.join(cfg.ckpt_path, "state")
         ) else None
+    resume_meta = {}
     if resume:
         state, _, meta = restore_checkpoint(resume, state)
-        print(f"Resumed from {resume} at step {int(state.step)}")
+        resume_meta = meta or {}
+        print(
+            f"Resumed from {resume} at step {int(state.step)}"
+            + (f" (phase {resume_meta['phase']})"
+               if resume_meta.get("phase") else "")
+        )
+
+    # Phase skipping on resume: periodic checkpoints record the in-progress
+    # phase (+ halving), phase-end checkpoints record phase_complete.
+    # Completed phases are skipped entirely; the in-progress phase (or
+    # halving) restarts from its beginning with the restored weights and
+    # optimizer — without this, resume='auto' after a phase-3 crash would
+    # put the distilled student back through full-schedule diffusion
+    # training, destroying the few-step behavior.  Metas without phase info
+    # (pre-existing checkpoints) replay everything, as before.
+    _ORDER = ["diffusion", "progressive", "consistency"]
+
+    def _phase_done(name: str) -> bool:
+        comp = resume_meta.get("phase_complete")
+        if comp in _ORDER and _ORDER.index(name) <= _ORDER.index(comp):
+            return True
+        inprog = resume_meta.get("phase")
+        if inprog in _ORDER and _ORDER.index(name) < _ORDER.index(inprog):
+            return True
+        return False
+
+    resume_halving = (
+        resume_meta.get("halving")
+        if resume_meta.get("phase") == "progressive"
+        else None
+    )
+    # Written into periodic-checkpoint metas by the hook below.
+    progress = {"phase": "diffusion", "halving": None}
 
     if mesh is not None:
         state = replicate(state, mesh)
@@ -393,7 +459,15 @@ def train(
 
     from ..utils.reliability import make_nan_guard
 
-    validate = trainer.make_validate_fn(num_steps=cfg.inference_steps)
+    # Each phase is validated through the conditioning path it trains:
+    # phase 1 through sem_features (v2 recipe), distillation through
+    # sem_idx/token_emb (the v1 inference path phases 2/3 condition on).
+    validate_fns = {
+        "features": trainer.make_validate_fn(num_steps=cfg.inference_steps),
+        "tokens": trainer.make_validate_fn(
+            num_steps=cfg.inference_steps, conditioning="tokens"
+        ),
+    }
     nan_guard = make_nan_guard(patience=3)
     best_val_cos = -float("inf")
 
@@ -407,7 +481,8 @@ def train(
     if cfg.ckpt_every_steps > 0:
         def _periodic_ckpt(step: int, st: TrainState):
             if step % cfg.ckpt_every_steps == 0:
-                save_checkpoint(cfg.ckpt_path, st, cfg, {"step": step},
+                save_checkpoint(cfg.ckpt_path, st, cfg,
+                                {"step": step, **progress},
                                 frozen_host=_frozen_host(st))
 
         hooks = (hooks or []) + [_periodic_ckpt]
@@ -460,6 +535,9 @@ def train(
         nonlocal best_val_cos, rng
         if val_loader is None:
             return
+        validate = validate_fns[
+            "features" if tag == "diffusion" else "tokens"
+        ]
         rng, sub = jax.random.split(rng)
         vals = []
         for i, batch in enumerate(val_loader):
@@ -486,7 +564,10 @@ def train(
             )
 
     # ---- Phase 1: diffusion ------------------------------------------------
-    if "diffusion" in phases:
+    if "diffusion" in phases and _phase_done("diffusion"):
+        print("Phase 1: diffusion — already complete in checkpoint, skipping")
+    elif "diffusion" in phases:
+        progress["phase"] = "diffusion"
         print(f"Phase 1: diffusion ({cfg.diffusion_epochs} epochs)")
         step_fn = build_diffusion_step()
         for epoch in range(cfg.diffusion_epochs):
@@ -504,15 +585,25 @@ def train(
             )
             _maybe_validate(state, "diffusion")
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase1"), state, cfg,
-                        {"phase": "diffusion"}, frozen_host=_frozen_host(state))
+                        {"phase_complete": "diffusion"},
+                        frozen_host=_frozen_host(state))
 
     # ---- Phase 2: progressive distillation ---------------------------------
-    if "progressive" in phases:
+    if "progressive" in phases and _phase_done("progressive"):
+        print("Phase 2: progressive — already complete in checkpoint, skipping")
+    elif "progressive" in phases:
+        progress["phase"] = "progressive"
         halvings = progressive_step_schedule(
             cfg.diff_steps, cfg.progressive_target_steps
         )
+        if resume_halving in halvings:
+            skipped = halvings[: halvings.index(resume_halving)]
+            halvings = halvings[halvings.index(resume_halving):]
+            if skipped:
+                print(f"  resume: skipping completed halvings {skipped}")
         print(f"Phase 2: progressive distillation {cfg.diff_steps} -> {halvings}")
         for target_steps in halvings:
+            progress["halving"] = target_steps
             state = state.with_teacher()  # re-init at each halving
             step_fn = build_progressive_step(target_steps)
             for epoch in range(cfg.progressive_epochs_per_halving):
@@ -528,10 +619,15 @@ def train(
             )
             _maybe_validate(state, f"prog{target_steps}")
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase2"), state, cfg,
-                        {"phase": "progressive"}, frozen_host=_frozen_host(state))
+                        {"phase_complete": "progressive"},
+                        frozen_host=_frozen_host(state))
 
     # ---- Phase 3: consistency ----------------------------------------------
-    if "consistency" in phases:
+    if "consistency" in phases and _phase_done("consistency"):
+        print("Phase 3: consistency — already complete in checkpoint, skipping")
+    elif "consistency" in phases:
+        progress["phase"] = "consistency"
+        progress["halving"] = None
         print(f"Phase 3: consistency ({cfg.consistency_epochs} epochs)")
         if cfg.consistency_exact and state.teacher is None:
             state = state.with_teacher()
@@ -560,7 +656,8 @@ def train(
     save_final_model(os.path.join(run_dir, "edge_model_final"), final_params,
                      cfg, frozen_host=_frozen_host(state))
     save_checkpoint(os.path.join(run_dir, "checkpoint_final"), state, cfg,
-                    {"phase": "final"}, frozen_host=_frozen_host(state))
+                    {"phase_complete": "consistency"},
+                    frozen_host=_frozen_host(state))
     if export:
         from ..utils.export import export_for_edge
 

@@ -168,14 +168,26 @@ def test_streaming_overlap_add_oracle(tiny_pipeline, monkeypatch):
         _, mean, std = normalize_mel(pipe.mel_frontend(jnp.asarray(chunk)))
         lin = np.asarray(jnp.exp(denormalize_mel(x_ref, mean, std)))[0].T
         f0 = i * pipe.hop_frames
-        acc[:, f0 : f0 + cf] += lin * window
-        wsum[:, f0 : f0 + cf] += window
+        # Boundary chunks keep full weight at the sequence edges (pipeline
+        # .py: a fade against no neighbor would emit weight-0 edge frames
+        # as silence).
+        win = window.copy()
+        if i == 0:
+            win[0, :fade] = 1.0
+        if i == num_chunks - 1:
+            win[0, -fade:] = 1.0
+        acc[:, f0 : f0 + cf] += lin * win
+        wsum[:, f0 : f0 + cf] += win
     expected = acc[:, :total_frames] / np.clip(
         wsum[:, :total_frames], 1e-5, None
     )
 
     assert streamed.shape == expected.shape == (cfg.n_mels, total_frames)
     np.testing.assert_allclose(streamed, expected, atol=1e-5)
+    # The first frame is real generated mel (linear mel is exp() > 0), not
+    # the exact-zero silence a fade-to-zero against no neighbor produced.
+    assert np.abs(streamed[:, 0]).max() > 0.0
+    assert np.abs(streamed[:, -1]).max() > 0.0
 
 
 @pytest.mark.parametrize("secs", [2.0, 3.5])

@@ -509,3 +509,141 @@ def test_param_dtype_bf16():
     # params remain bf16 after the update
     dec_leaf = jax.tree.leaves(state.params["decoder"])[0]
     assert dec_leaf.dtype == jnp.bfloat16
+
+
+def test_token_align_trains_token_emb():
+    """Phase 1 conditions through sem_features, but inference/serving use
+    sem_idx/token_emb — the token-alignment aux loss must give token_emb a
+    gradient during phase 1 (and weight 0 must restore the pure v2 loss)."""
+    def run(weight):
+        cfg = tiny_cfg(token_align_weight=weight)
+        rng = jax.random.PRNGKey(0)
+        encoder, decoder, params, vq_state = init_models(
+            cfg, rng, hubert_cfg=HubertConfig.tiny()
+        )
+        schedule = DiffusionSchedule.create(cfg.diff_steps)
+        tx = make_optimizer(cfg, total_steps=10)
+        trainer = Trainer(cfg, encoder, decoder, schedule, tx)
+        state = create_train_state(cfg, params, vq_state, tx)
+        step = trainer.make_diffusion_step()
+        batch = {
+            "wav": jnp.asarray(
+                np.random.RandomState(0)
+                .randn(cfg.batch_size, cfg.segment_len)
+                .astype(np.float32) * 0.1
+            )
+        }
+        tok0 = np.asarray(params["decoder"]["token_emb"]["embedding"]).copy()
+        for i in range(3):  # warmup LR is 0 at the very first update
+            state, metrics = step(state, batch, jax.random.PRNGKey(1 + i))
+        tok1 = np.asarray(state.params["decoder"]["token_emb"]["embedding"])
+        # exclude AdamW weight decay as the only mover: decay shrinks norms
+        # multiplicatively; compare against the decayed-only trajectory by
+        # checking the DIRECTION of movement is not purely radial.
+        moved = float(np.abs(tok1 - tok0).max())
+        return moved, float(metrics["align_loss"])
+
+    moved_on, align_on = run(0.1)
+    moved_off, align_off = run(0.0)
+    assert align_on > 0.0
+    assert align_off == 0.0
+    # With the aux loss, token_emb moves substantially more than the pure
+    # weight-decay drift of the disabled run.
+    assert moved_on > 3.0 * max(moved_off, 1e-9), (moved_on, moved_off)
+
+
+def test_teacher_ema_only_on_optimizer_updates():
+    """Under grad accumulation the teacher must EMA once per OPTIMIZER update
+    (reference: teacher update after optimizer.step), not once per data step
+    — decay 0.999 applied 8x per update would weaken the teacher."""
+    cfg = tiny_cfg(grad_accumulation=2)
+    rng = jax.random.PRNGKey(0)
+    encoder, decoder, params, vq_state = init_models(
+        cfg, rng, hubert_cfg=HubertConfig.tiny()
+    )
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    tx = make_optimizer(cfg, total_steps=10, base_lr=0.0)  # freeze student
+    trainer = Trainer(cfg, encoder, decoder, schedule, tx)
+    state = create_train_state(cfg, params, vq_state, tx).with_teacher()
+    # Make the teacher differ from the student so EMA movement is visible.
+    import jax as _jax
+    state = state.replace(
+        teacher=_jax.tree.map(lambda t: t + 1.0, state.teacher)
+    )
+    step = trainer.make_progressive_step(num_steps=4, ema_decay=0.9)
+    batch = {
+        "wav": jnp.asarray(
+            np.random.RandomState(0)
+            .randn(cfg.batch_size, cfg.segment_len)
+            .astype(np.float32) * 0.1
+        )
+    }
+    t0 = np.asarray(jax.tree.leaves(state.teacher)[0]).copy()
+    # Data step 1: accumulation only (mini_step 0 -> 1): teacher frozen.
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    t1 = np.asarray(jax.tree.leaves(state.teacher)[0])
+    np.testing.assert_array_equal(t1, t0)
+    # Data step 2: optimizer update applied: teacher EMAs once.
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+    t2 = np.asarray(jax.tree.leaves(state.teacher)[0])
+    assert np.abs(t2 - t0).max() > 1e-6
+
+
+def test_lr_horizon_counts_optimizer_updates(tmp_path):
+    """train() sizes the warmup/cosine horizon in OPTIMIZER updates: with
+    grad_accumulation=k the schedule must reach its end after N/k updates,
+    not stall at 1/k progress (MultiSteps advances once per k data steps)."""
+    from edge_diffusion_tts_tpu.training import train
+
+    cfg = tiny_cfg(
+        diff_steps=8, max_timestep=7, out_dir=str(tmp_path),
+        grad_accumulation=2, batch_size=2, val_batches=0,
+        plot_every_steps=0, ckpt_every_steps=0, diffusion_epochs=2,
+    )
+    loader = [
+        {"wav": np.random.RandomState(i)
+         .randn(cfg.batch_size, cfg.segment_len).astype(np.float32) * 0.1}
+        for i in range(2)
+    ]
+    state = train(cfg, train_loader=loader, val_loader=None,
+                  hubert_cfg=HubertConfig.tiny(), phases=["diffusion"])
+    # 2 epochs x 2 steps = 4 data steps -> 2 optimizer updates
+    opt = state.opt_state
+    assert int(opt.gradient_step) == 2
+    # The optimizer was built with a 2-update horizon (4 data steps / k=2):
+    # reconstruct the schedule and check it decayed to ~end_value by then.
+    from edge_diffusion_tts_tpu.training.state import make_lr_schedule
+    sched = make_lr_schedule(cfg, 2)
+    assert float(sched(2)) < float(sched(1)) or float(sched(2)) <= 1e-6
+
+
+def test_resume_skips_completed_phases(tmp_path):
+    """resume='auto' from a phase-3 periodic checkpoint must NOT replay
+    phases 1-2 (that would put the distilled student back through
+    full-schedule diffusion training); it restarts phase 3 only."""
+    from edge_diffusion_tts_tpu.training import train
+
+    common = dict(
+        diff_steps=8, max_timestep=7, progressive_target_steps=4,
+        val_batches=0, plot_every_steps=0, ckpt_every_steps=1,
+        log_every_steps=1,
+    )
+    cfg = tiny_cfg(out_dir=str(tmp_path), **common)
+    loader = [
+        {"wav": np.zeros((cfg.batch_size, cfg.segment_len), np.float32)}
+        for _ in range(2)
+    ]
+    state1 = train(cfg, train_loader=loader, val_loader=None,
+                   hubert_cfg=HubertConfig.tiny(),
+                   phases=["diffusion", "progressive", "consistency"])
+    # 1 diffusion epoch (2) + 1 halving (2) + 1 consistency epoch (2)
+    assert int(state1.step) == 6
+
+    cfg2 = tiny_cfg(out_dir=str(tmp_path), **common)
+    state2 = train(cfg2, train_loader=loader, val_loader=None,
+                   hubert_cfg=HubertConfig.tiny(),
+                   phases=["diffusion", "progressive", "consistency"],
+                   resume="auto")
+    # The last periodic checkpoint was written during phase 3 (step 6):
+    # phases 1-2 skip, phase 3 replays from its start -> exactly +2 steps.
+    assert int(state2.step) == 8
