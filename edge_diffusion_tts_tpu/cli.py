@@ -190,7 +190,10 @@ def main(argv=None):
         from .models import EdgeDiffusionDecoder, HubertConfig, SemanticEncoder
         from .pipeline import LongFormPipeline
         from .schedule import DiffusionSchedule
-        from .training.checkpoint import restore_final_model
+        from .training.checkpoint import (
+            encoder_variables,
+            restore_final_model,
+        )
 
         params, cfg = restore_final_model(args.checkpoint)
         wav, sr = load_wav(args.wav)
@@ -204,10 +207,12 @@ def main(argv=None):
             DiffusionSchedule.create(cfg.diff_steps),
             lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
             params["decoder"],
-            encoder_apply=lambda p, w: encoder.apply(
-                {"params": p}, w, train=False
+            # encoder_variables threads the saved VQ codebook (vq_state)
+            # for use_fsq=False checkpoints.
+            encoder_apply=lambda variables, w: encoder.apply(
+                variables, w, train=False
             )[0],
-            encoder_params=params["encoder"],
+            encoder_params=encoder_variables(params),
         )
         if args.stream:
             # Live-serving path: append ONLY each increment's PCM bytes and
@@ -330,7 +335,10 @@ def main(argv=None):
         params, vq_state, _ = convert_reference_checkpoint(
             ckpt, num_layers=cfg.layers, hubert_params=hubert_params
         )
-        save_final_model(args.out_dir, params, cfg)
+        # vq_state carries the trained VQ codebook for use_fsq=False
+        # reference checkpoints — dropping it would leave token encoding
+        # on a random-init codebook.
+        save_final_model(args.out_dir, params, cfg, vq_state=vq_state or None)
         if not hubert_params:
             print("NOTE: no --hubert-id given; the frozen HuBERT subtree is "
                   "absent — fill it before running inference.")

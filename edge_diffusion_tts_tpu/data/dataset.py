@@ -69,7 +69,10 @@ class LJSpeechDataset:
             ids = [line.split("|", 1)[0] for line in f if line.strip()]
 
         perm = np.random.RandomState(1234).permutation(len(ids))
-        n_val = max(1, int(len(ids) * val_frac))
+        # No max(1, ...): the reference takes int(len * val_frac) exactly
+        # (dataset.py:44-52), and val_frac=0.0 must mean an EMPTY val split —
+        # precompute_hubert_features relies on it to cover every utterance.
+        n_val = int(len(ids) * val_frac)
         if split == "val":
             keep = perm[:n_val]
         else:

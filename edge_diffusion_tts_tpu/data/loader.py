@@ -58,14 +58,29 @@ class DataLoader:
         for i in range(0, end, self.batch_size):
             yield order[i : i + self.batch_size]
 
-    def _produce(self, q: "queue.Queue"):
+    def _produce(self, q: "queue.Queue", stop: threading.Event):
+        def put(item) -> bool:
+            # Bounded put that aborts when the consumer abandoned the epoch
+            # (validation loops break after val_batches batches): blocking
+            # on q.put forever would leak the thread + its queued batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for idx in self._batch_indices():
+                if stop.is_set():
+                    return
                 items = [self.dataset[int(i)] for i in idx]
-                q.put(self.collate(items))
-            q.put(None)
+                if not put(self.collate(items)):
+                    return
+            put(None)
         except BaseException as e:  # surface reader errors in the consumer
-            q.put(e)
+            put(e)
 
     def __iter__(self):
         self.epoch += 1
@@ -74,12 +89,20 @@ class DataLoader:
                 yield self.collate([self.dataset[int(i)] for i in idx])
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(
+            target=self._produce, args=(q, stop), daemon=True
+        )
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on generator close (a consumer
+            # breaking out of its for-loop): releases the producer.
+            stop.set()

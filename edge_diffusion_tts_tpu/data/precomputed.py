@@ -106,7 +106,7 @@ def precompute_hubert_features(
         out_path = os.path.join(out_dir, uid + ".npy")
         if os.path.exists(out_path):
             continue
-        wav, sr = ds[ds.ids.index(uid)]
+        wav, sr = ds[n]  # ids is a prefix of ds.ids: loop index == ds index
         if sr != 16000:
             wav = resample_np(wav, sr, 16000)
         feats = np.asarray(hubert_apply(hubert_params, wav[None, :]))[0]

@@ -90,6 +90,7 @@ def generate_sample(
     post_filter: bool = False,
     seed: int = 0,
     sampler: str = "ddim",
+    hubert_cfg: Optional["HubertConfig"] = None,
 ) -> Tuple[np.ndarray, int]:
     """Full demo: restore model, generate from a reference wav, write output.
 
@@ -117,19 +118,23 @@ def generate_sample(
                       (np.clip(rec, -1, 1) * 32767).astype(np.int16))
         return rec, cfg.sample_rate
 
-    encoder = SemanticEncoder(cfg, HubertConfig())
+    from .training.checkpoint import encoder_variables
+
+    encoder = SemanticEncoder(cfg, hubert_cfg or HubertConfig())
     decoder = EdgeDiffusionDecoder(cfg)
     schedule = DiffusionSchedule.create(cfg.diff_steps)
 
-    def encoder_apply(p, w):
-        return encoder.apply({"params": p}, w, method=encoder.encode)
+    # encoder_variables threads the saved VQ codebook (vq_state collection)
+    # for use_fsq=False checkpoints; FSQ models carry none.
+    def encoder_apply(variables, w):
+        return encoder.apply(variables, w, method=encoder.encode)
 
     inf = EdgeInference(
         cfg, schedule,
         lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
         params["decoder"],
         encoder_apply=encoder_apply,
-        encoder_params=params["encoder"],
+        encoder_params=encoder_variables(params),
         # The checkpoint's cfg records the training objective; the
         # EdgeInference constructor rejects dpmpp with an eps model.
         prediction="v" if cfg.use_v_prediction else "eps",

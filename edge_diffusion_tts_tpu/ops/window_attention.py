@@ -72,10 +72,13 @@ def _band_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # Absolute positions of this (q tile, k tile) pair.  The k-tile index in
-    # the *sequence* is (qi - lo_tiles + kj); it may fall outside [0, T) —
+    # the *sequence* is (qi * blk_q // blk_k - lo_tiles + kj) — the q-tile
+    # index must be rescaled into blk_k units or any blk_q != blk_k call
+    # would silently truncate the band (blk_q % blk_k == 0 is enforced at
+    # the call site, so the base is exact).  It may fall outside [0, T) —
     # the BlockSpec index map clamps the DMA, and the band/bounds mask below
     # zeroes every score of such a tile.
-    k_tile = qi + kj - lo_tiles
+    k_tile = qi * (blk_q // blk_k) + kj - lo_tiles
     q_pos = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
     k_pos = k_tile * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
     in_band = jnp.abs(q_pos - k_pos) <= window
@@ -136,6 +139,11 @@ def banded_attention(
     B, H, T, d = q.shape
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if blk_q % blk_k:
+        # The static band coverage (lo_tiles/hi_tiles) assumes every q tile
+        # starts on a k-tile boundary; a non-multiple would need per-tile
+        # variable coverage.
+        raise ValueError(f"blk_q={blk_q} must be a multiple of blk_k={blk_k}")
 
     Tp = int(math.ceil(T / blk_q) * blk_q)
     if Tp != T:
@@ -157,7 +165,10 @@ def banded_attention(
     nk = lo_tiles + hi_tiles + 1
 
     def k_index(bh, qi, kj):
-        kt = jnp.clip(qi + kj - lo_tiles, 0, n_k_seq_tiles - 1)
+        # q-tile index rescaled into blk_k units (see _band_kernel k_tile).
+        kt = jnp.clip(
+            qi * (blk_q // blk_k) + kj - lo_tiles, 0, n_k_seq_tiles - 1
+        )
         return (bh, kt, 0)
 
     kernel = functools.partial(

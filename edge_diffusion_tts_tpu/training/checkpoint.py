@@ -106,16 +106,26 @@ def restore_checkpoint(
 
 
 def save_final_model(
-    path: str, params: Any, cfg: CFG, frozen_host: Optional[Any] = None
+    path: str, params: Any, cfg: CFG, frozen_host: Optional[Any] = None,
+    vq_state: Optional[Any] = None,
 ):
     """Inference-only artifact: {encoder, decoder} params + cfg.
 
     Equivalent of edge_model_final.pt (reference: train.py:291-297).
-    ``frozen_host`` as in :func:`save_checkpoint`.
+    ``frozen_host`` as in :func:`save_checkpoint`.  ``vq_state`` (the flax
+    "vq_state" collection, {"encoder": ...}) MUST be passed for
+    use_fsq=False models: the trained VQ codebook lives there, not in
+    params, and audio->token encoding is meaningless without it.  It is
+    stored under the reserved ``params["vq_state"]`` key (consumers index
+    "encoder"/"decoder" explicitly, so the extra key is invisible to them;
+    use :func:`encoder_variables` to assemble the encoder apply dict).
     """
     path = os.path.abspath(path)
     if frozen_host is not None and "hubert" in params.get("encoder", {}):
         params = _substitute_hubert(params, frozen_host)
+    if vq_state:
+        params = dict(params)
+        params["vq_state"] = vq_state
     ocp.PyTreeCheckpointer().save(os.path.join(path, "params"), params, force=True)
     with open(os.path.join(path, _CFG_FILE), "w") as f:
         f.write(cfg.to_json())
@@ -127,3 +137,13 @@ def restore_final_model(path: str) -> Tuple[Any, CFG]:
     with open(os.path.join(path, _CFG_FILE)) as f:
         cfg = CFG.from_json(f.read())
     return params, cfg
+
+
+def encoder_variables(params: Any) -> dict:
+    """Flax variables dict for encoder.apply from a final-model tree:
+    {"params": ..., "vq_state": ...} when the artifact carries a VQ
+    codebook (use_fsq=False checkpoints), else {"params": ...}."""
+    variables = {"params": params["encoder"]}
+    if "vq_state" in params and "encoder" in params["vq_state"]:
+        variables["vq_state"] = params["vq_state"]["encoder"]
+    return variables

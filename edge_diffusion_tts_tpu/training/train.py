@@ -654,7 +654,8 @@ def train(
 
         final_params = pp_unpack_params(jax.device_get(state.params))
     save_final_model(os.path.join(run_dir, "edge_model_final"), final_params,
-                     cfg, frozen_host=_frozen_host(state))
+                     cfg, frozen_host=_frozen_host(state),
+                     vq_state=jax.device_get(state.vq_state) or None)
     save_checkpoint(os.path.join(run_dir, "checkpoint_final"), state, cfg,
                     {"phase_complete": "consistency"},
                     frozen_host=_frozen_host(state))

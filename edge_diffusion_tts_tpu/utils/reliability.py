@@ -25,13 +25,11 @@ class DivergenceError(RuntimeError):
     pass
 
 
-def make_nan_guard(
-    get_loss: Callable = None, patience: int = 1
-) -> Callable:
-    """Training hook ``(step, state, metrics=None)`` raising DivergenceError
-    after ``patience`` consecutive non-finite losses.
+def make_nan_guard(patience: int = 1) -> Callable:
+    """``guard(step, loss)`` raising DivergenceError after ``patience``
+    consecutive non-finite losses.
 
-    Use via Trainer metrics: wire it where metrics are visible, e.g.::
+    Wire it where metrics are visible, e.g.::
 
         guard = make_nan_guard()
         for batch in loader:

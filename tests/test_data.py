@@ -64,7 +64,7 @@ def test_split_deterministic_and_disjoint(mini_ljspeech):
     assert tr1.ids == tr2.ids
     assert set(tr1.ids).isdisjoint(va.ids)
     assert len(tr1) + len(va) == 24
-    assert len(va) == max(1, int(24 * 0.05))
+    assert len(va) == int(24 * 0.05)  # reference split math, no max(1, .)
 
 
 def test_collate_shapes(mini_ljspeech):
@@ -103,3 +103,43 @@ def test_collate_precomputed_alignment():
         hubert_num_frames(cfg.segment_len),
         16,
     )
+
+
+def test_loader_abandoned_iteration_releases_producer():
+    """Breaking out of a prefetching DataLoader epoch (what every validation
+    loop does after val_batches batches) must release the producer thread
+    instead of leaving it blocked on the bounded queue forever."""
+    import threading
+    import time
+
+    from edge_diffusion_tts_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return i
+
+    loader = DataLoader(
+        DS(), batch_size=2, collate=lambda xs: np.asarray(xs),
+        shuffle=False, prefetch=2,
+    )
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # what a for-loop break does on GC
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer threads leaked"
+
+
+def test_val_frac_zero_empty_split(mini_ljspeech):
+    # precompute_hubert_features relies on val_frac=0.0 covering EVERY
+    # utterance (reference split math: n_val = int(len * frac), no max(1,.)).
+    full = LJSpeechDataset(mini_ljspeech, split="train", val_frac=0.0)
+    val = LJSpeechDataset(mini_ljspeech, split="val", val_frac=0.0)
+    assert len(val) == 0
+    assert len(full) == 24

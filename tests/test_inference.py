@@ -233,3 +233,42 @@ def test_export_tflite_quantized(tiny_inference, tmp_path):
     # error; scale the tolerance to the output spread.
     tol = 0.1 * max(float(np.abs(ref).max()), 1e-3)
     assert float(np.abs(out - ref).mean()) < tol
+
+
+def test_generate_sample_vq_checkpoint(tmp_path):
+    """demo.generate_sample end-to-end from a use_fsq=False checkpoint: the
+    saved VQ codebook (vq_state) must be threaded into the encoder apply —
+    previously the flow crashed on the missing collection (and the trained
+    codebook was not even in the artifact)."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from edge_diffusion_tts_tpu.config import CFG
+    from edge_diffusion_tts_tpu.demo import generate_sample
+    from edge_diffusion_tts_tpu.models.hubert import HubertConfig
+    from edge_diffusion_tts_tpu.training import init_models
+    from edge_diffusion_tts_tpu.training.checkpoint import save_final_model
+
+    cfg = CFG(hidden=32, layers=1, heads=2, dropout=0.0, use_fsq=False,
+              codebook_size=16, segment_secs=0.2, inference_steps=2,
+              out_dir=str(tmp_path))
+    _, _, params, vq_state = init_models(
+        cfg, jax.random.PRNGKey(0), hubert_cfg=HubertConfig.tiny()
+    )
+    ckpt = str(tmp_path / "final_vq")
+    save_final_model(ckpt, params, cfg, vq_state=vq_state)
+
+    sr = cfg.sample_rate
+    wav = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr // 2) / sr)).astype(
+        np.float32
+    )
+    wav_path = str(tmp_path / "ref.wav")
+    wavfile.write(wav_path, sr, (wav * 32767).astype(np.int16))
+
+    out, out_sr = generate_sample(
+        ckpt, wav_path=wav_path, num_steps=2,
+        out_path=str(tmp_path / "gen.wav"),
+        hubert_cfg=HubertConfig.tiny(),
+    )
+    assert out_sr == sr
+    assert np.isfinite(out).all() and out.size > 0

@@ -647,3 +647,50 @@ def test_resume_skips_completed_phases(tmp_path):
     # The last periodic checkpoint was written during phase 3 (step 6):
     # phases 1-2 skip, phase 3 replays from its start -> exactly +2 steps.
     assert int(state2.step) == 8
+
+
+def test_final_model_carries_vq_codebook(tmp_path):
+    """use_fsq=False checkpoints must carry the trained VQ codebook (the
+    flax vq_state collection) — audio->token encoding through a fresh
+    random-init codebook would be meaningless — and encoder_variables must
+    assemble the apply dict that uses it."""
+    from edge_diffusion_tts_tpu.training.checkpoint import (
+        encoder_variables,
+        restore_final_model,
+        save_final_model,
+    )
+
+    cfg = tiny_cfg(use_fsq=False, codebook_size=16)
+    rng = jax.random.PRNGKey(0)
+    encoder, decoder, params, vq_state = init_models(
+        cfg, rng, hubert_cfg=HubertConfig.tiny()
+    )
+    # Make the codebook distinguishable from a fresh init.
+    vq_state = jax.tree.map(lambda x: x, vq_state)
+    cb = vq_state["encoder"]["vq"]["codebook"] + 7.0
+    vq_state["encoder"]["vq"]["codebook"] = cb
+
+    path = str(tmp_path / "final_vq")
+    save_final_model(path, params, cfg, vq_state=vq_state)
+    params2, cfg2 = restore_final_model(path)
+    variables = encoder_variables(params2)
+    assert "vq_state" in variables
+    np.testing.assert_allclose(
+        np.asarray(variables["vq_state"]["vq"]["codebook"]), np.asarray(cb)
+    )
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(1, cfg.segment_len).astype(np.float32)
+        * 0.1
+    )
+    toks = encoder.apply(variables, wav, method=encoder.encode)
+    assert toks.shape[0] == 1 and int(toks.max()) < 16
+
+    # FSQ checkpoints carry no vq_state and the helper stays params-only.
+    cfg_f = tiny_cfg(use_fsq=True)
+    enc_f, _, params_f, _ = init_models(
+        cfg_f, rng, hubert_cfg=HubertConfig.tiny()
+    )
+    path2 = str(tmp_path / "final_fsq")
+    save_final_model(path2, params_f, cfg_f)
+    params3, _ = restore_final_model(path2)
+    assert "vq_state" not in encoder_variables(params3)

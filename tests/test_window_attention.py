@@ -35,6 +35,20 @@ def test_banded_matches_dense(B, H, T, d, window):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("blk_q,blk_k", [(128, 64), (128, 32), (64, 64)])
+def test_banded_mixed_block_sizes(blk_q, blk_k):
+    # blk_q != blk_k: the k-tile base must rescale the q-tile index into
+    # blk_k units or the band silently truncates (q tile 1 rows 128..255
+    # with window 64 must reach keys up to 319).
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 2, 300, 32)
+    ours = banded_attention(q, k, v, 64, blk_q=blk_q, blk_k=blk_k)
+    mask = local_attention_mask(300, 64)[None, None]
+    ref = sdpa(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+    with pytest.raises(ValueError, match="multiple"):
+        banded_attention(q, k, v, 64, blk_q=64, blk_k=48)
+
+
 def test_banded_tiny_window_edge():
     # Degenerate: window=0 means attend only to self -> output == v rows.
     q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 1, 130, 16)
