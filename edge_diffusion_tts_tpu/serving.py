@@ -255,7 +255,20 @@ class _Handler(socketserver.StreamRequestHandler):
                     np.asarray(req["tokens"], np.int32),
                     timeout=float(req.get("timeout", 300.0)),
                 )
-                resp = {"mel": np.asarray(mel, np.float32).tolist()}
+                mel = np.asarray(mel, np.float32)
+                if req.get("binary"):
+                    # ~7x smaller and no float->decimal->float loss: raw
+                    # little-endian f32 frames, base64 on the JSON line.
+                    import base64
+
+                    resp = {
+                        "mel_b64": base64.b64encode(
+                            np.ascontiguousarray(mel, "<f4").tobytes()
+                        ).decode("ascii"),
+                        "shape": list(mel.shape),
+                    }
+                else:
+                    resp = {"mel": mel.tolist()}
             except Exception as e:
                 resp = {"error": f"{type(e).__name__}: {e}"}
             self.wfile.write((json.dumps(resp) + "\n").encode())
@@ -265,10 +278,14 @@ class _Handler(socketserver.StreamRequestHandler):
 class TTSServer(socketserver.ThreadingTCPServer):
     """Newline-delimited-JSON TCP front-end over a MicroBatcher.
 
-    Protocol: one request per line ``{"tokens": [...], "timeout": s?}`` ->
-    one response line ``{"mel": [[...], ...]}`` (frames x n_mels) or
-    ``{"error": "..."}``.  Concurrent connections share the batcher, so
-    simultaneous requests ride the same device program.
+    Protocol: one request per line
+    ``{"tokens": [...], "timeout": s?, "binary": bool?}`` -> one response
+    line ``{"mel": [[...], ...]}`` (frames x n_mels), or with
+    ``binary`` ``{"mel_b64": <base64 of raw little-endian f32>,
+    "shape": [frames, n_mels]}`` (~7x smaller, bit-exact), or
+    ``{"error": "..."}``.  ``{"stats": true}`` returns the serving
+    counters.  Concurrent connections share the batcher, so simultaneous
+    requests ride the same device program.
     """
 
     allow_reuse_address = True
@@ -410,13 +427,18 @@ def run_server(
 
 def request_tts(
     tokens: Sequence[int], host: str = "127.0.0.1", port: int = 7455,
-    timeout: float = 300.0,
+    timeout: float = 300.0, binary: bool = True,
 ) -> np.ndarray:
-    """Minimal client for the line-JSON protocol; returns mel [frames, n_mels]."""
+    """Minimal client for the line-JSON protocol; returns mel [frames, n_mels].
+
+    ``binary`` (default) transports the mel as base64 raw f32 — ~7x smaller
+    than decimal float lists and bit-exact; set False for the plain-JSON
+    form (e.g. non-numpy consumers).
+    """
     with socket.create_connection((host, port), timeout=timeout) as s:
         s.sendall(
             (json.dumps({"tokens": list(map(int, tokens)),
-                         "timeout": timeout}) + "\n").encode()
+                         "timeout": timeout, "binary": binary}) + "\n").encode()
         )
         buf = b""
         while not buf.endswith(b"\n"):
@@ -427,4 +449,10 @@ def request_tts(
     resp = json.loads(buf.decode())
     if "error" in resp:
         raise RuntimeError(resp["error"])
+    if "mel_b64" in resp:
+        import base64
+
+        return np.frombuffer(
+            base64.b64decode(resp["mel_b64"]), "<f4"
+        ).reshape(resp["shape"])
     return np.asarray(resp["mel"], np.float32)

@@ -367,6 +367,10 @@ def test_tcp_round_trip():
         mel = request_tts(tk, host=host, port=port, timeout=30.0)
         assert mel.shape == (6, 4)
         np.testing.assert_array_equal(mel[::2, 0], np.float32(tk))
+        # plain-JSON transport form matches the binary (default) form
+        mel_json = request_tts(tk, host=host, port=port, timeout=30.0,
+                               binary=False)
+        np.testing.assert_array_equal(mel_json, mel)
         with pytest.raises(RuntimeError, match="ValueError"):
             request_tts([], host=host, port=port, timeout=30.0)
     finally:
