@@ -58,10 +58,8 @@ def main():
     params = init_decoder_params(decoder, jax.random.PRNGKey(0), cfg)["params"]
     schedule = DiffusionSchedule.create(cfg.diff_steps)
     S = int(AUDIO_SECS * 50)
-    results = []
 
     def emit(r):
-        results.append(r)
         print(json.dumps(r), flush=True)
 
     def decode_chain_builder(dec, num_steps, sampler="ddim", B=1):

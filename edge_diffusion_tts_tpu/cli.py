@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -157,16 +158,36 @@ def main(argv=None):
 
         from .training import train, train_v2
 
+        # getattr defaults: bare `edge-tts-tpu` (command None) reaches here
+        # with a namespace that has none of the train subparser's attributes.
+        resume = getattr(args, "resume", None)
+        export = getattr(args, "export", False)
         if getattr(args, "recipe", "v1") == "v2":
-            train_v2(cfg, resume=args.resume, export=args.export)
+            train_v2(cfg, resume=resume, export=export)
         else:
-            phases = [s for s in args.phases.split(",") if s]
-            train(cfg, resume=args.resume, export=args.export, phases=phases)
+            phases = [
+                s for s in getattr(
+                    args, "phases", "diffusion,progressive,consistency"
+                ).split(",") if s
+            ]
+            train(cfg, resume=resume, export=export, phases=phases)
 
     elif args.command == "bench":
         import runpy
 
-        runpy.run_path("bench.py", run_name="__main__")
+        # bench.py lives at the repo root (not packaged): resolve relative
+        # to the package so the subcommand works from any CWD of a source
+        # checkout, and fail with a pointer otherwise.
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+        if not os.path.exists(bench_path):
+            raise SystemExit(
+                "bench.py is part of the source checkout, not the installed "
+                "package — run `python bench.py` from the repo root"
+            )
+        runpy.run_path(bench_path, run_name="__main__")
 
     elif args.command == "generate":
         from .demo import generate_sample

@@ -213,7 +213,11 @@ class EdgeInference:
         token) enables exact variable-length batching: row i's frames
         ``[:2 * sem_mask[i].sum()]`` match that row's unpadded generation.
         """
-        num_steps = num_steps or self.cfg.inference_steps
+        num_steps = (
+            num_steps if num_steps is not None else self.cfg.inference_steps
+        )
+        if num_steps <= 0:
+            raise ValueError(f"num_steps must be positive, got {num_steps}")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         masked = sem_mask is not None
         key = (num_steps, masked)

@@ -202,8 +202,7 @@ class EfficientAttention(nn.Module):
 
         band_chunk = self.band_q_chunk
         if (
-            band_chunk == 0
-            and key_mask is not None
+            key_mask is not None
             and self.use_pallas
             and self.window_size is not None
             and deterministic
@@ -214,8 +213,10 @@ class EfficientAttention(nn.Module):
             # way back to the dense [T, T] score matrix the kernel exists to
             # avoid (~2 GB of fp32 logits per layer-call at a 2048-token
             # bucket).  Route them through the chunked-band XLA path, which
-            # supports key_mask with a bounded logits tile.
-            band_chunk = min(512, T // 2)
+            # supports key_mask with a bounded logits tile; clamp to T // 2
+            # so a configured chunk larger than the sequence cannot push the
+            # branch back onto the dense path either.
+            band_chunk = min(band_chunk or 512, T // 2)
 
         if (
             self.use_pallas

@@ -60,9 +60,15 @@ class _Ticket:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[Exception] = None
+    cancelled: bool = False
 
     def wait(self, timeout: Optional[float] = None) -> np.ndarray:
         if not self.done.wait(timeout):
+            # Nobody will read the result: mark the ticket so the worker
+            # drops it instead of spending a batch row + device time on it
+            # (best-effort — a ticket already inside a running batch still
+            # completes).
+            self.cancelled = True
             raise TimeoutError("generation did not complete in time")
         if self.error is not None:
             raise self.error
@@ -97,8 +103,7 @@ class MicroBatcher:
         self._closed = False
         self._lock = threading.Lock()  # orders submit() against close()
         self.batches_run = 0  # observability; tests assert batching happened
-        self.requests_served = 0
-        self.rows_utilized = 0  # live rows summed over batches (vs max_batch)
+        self.requests_served = 0  # == live rows summed over batches
         self.device_ms_total = 0.0  # wall time inside generate_fn
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -107,7 +112,6 @@ class MicroBatcher:
         """Zero the serving counters (e.g. after warmup compiles)."""
         self.batches_run = 0
         self.requests_served = 0
-        self.rows_utilized = 0
         self.device_ms_total = 0.0
 
     def stats(self) -> dict:
@@ -117,7 +121,7 @@ class MicroBatcher:
             "requests_served": self.requests_served,
             "batches_run": self.batches_run,
             "mean_batch_occupancy": round(
-                self.rows_utilized / (b * self.max_batch), 3
+                self.requests_served / (b * self.max_batch), 3
             ),
             "mean_batch_ms": round(self.device_ms_total / b, 3),
             "queue_depth": self._queue.qsize(),
@@ -201,7 +205,6 @@ class MicroBatcher:
             self.device_ms_total += (time.monotonic() - t0) * 1e3
             self.batches_run += 1
             self.requests_served += len(tickets)
-            self.rows_utilized += len(tickets)
             for i, t in enumerate(tickets):
                 # copy(): a view would pin the whole padded batch array in
                 # memory until every client released its crop
@@ -220,6 +223,10 @@ class MicroBatcher:
             try:
                 by_bucket: dict = {}
                 for t in batch:
+                    if t.cancelled:
+                        # The client's wait() already timed out: don't spend
+                        # a batch row + device time on a result nobody reads.
+                        continue
                     by_bucket.setdefault(
                         pick_bucket(t.tokens.size, self.buckets), []
                     ).append(t)
@@ -362,7 +369,9 @@ def run_server(
         sampler=sampler,
         prediction="v" if cfg.use_v_prediction else "eps",
     )
-    steps = steps or cfg.inference_steps
+    steps = steps if steps is not None else cfg.inference_steps
+    if steps <= 0:
+        raise ValueError(f"steps must be positive, got {steps}")
     base_key = jax.random.PRNGKey(seed)
     batch_counter = itertools.count()
 
@@ -414,7 +423,10 @@ def run_server(
     if warmup:
         # A length-b request routes to (and therefore compiles) bucket b.
         for b in buckets:
-            batcher.generate([1] * b)
+            # First compiles through the remote-compile tunnel can run many
+            # minutes (worse during tunnel degradation) — far past the 300 s
+            # default ticket timeout; warmup must wait them out.
+            batcher.generate([1] * b, timeout=3600.0)
             say(f"serve: bucket {b} compiled")
         batcher.reset_stats()
     server = serve_tcp(batcher, host=host, port=port)
@@ -452,7 +464,9 @@ def request_tts(
     if "mel_b64" in resp:
         import base64
 
+        # copy(): frombuffer views are read-only; both transports must
+        # return equally writable arrays.
         return np.frombuffer(
             base64.b64decode(resp["mel_b64"]), "<f4"
-        ).reshape(resp["shape"])
+        ).reshape(resp["shape"]).copy()
     return np.asarray(resp["mel"], np.float32)
