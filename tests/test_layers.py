@@ -262,6 +262,20 @@ def test_efficient_attention_masked_pallas_length_uses_chunked(monkeypatch):
             np.asarray(out[b, :n]), np.asarray(ref[b, :n]), atol=1e-6
         )
 
+    # A configured chunk LARGER than the sequence must clamp (to T//2), not
+    # fall back to the dense [T, T] path the routing exists to avoid.
+    calls.clear()
+    mod_big = EfficientAttention(
+        16, heads=4, dropout=0.0, window_size=5,
+        use_pallas=True, pallas_min_seq=16, band_q_chunk=4096,
+    )
+    out_big = mod_big.apply(params, x, key_mask=key_mask)
+    assert calls, "oversized band_q_chunk must clamp, not go dense"
+    for b, n in enumerate([T, T // 3]):
+        np.testing.assert_allclose(
+            np.asarray(out_big[b, :n]), np.asarray(ref[b, :n]), atol=1e-6
+        )
+
 
 def test_mla_cross_q_chunk_matches_dense():
     # The q_chunk routing inside MLA must be numerically transparent: the same
