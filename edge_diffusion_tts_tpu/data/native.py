@@ -76,6 +76,7 @@ def _load():
         ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_int,  # kernel_sr: the source rate the kernel bank is for
         ctypes.c_uint64,
         ctypes.c_int,
         ctypes.c_int,
@@ -130,6 +131,9 @@ class NativeCollate:
         self.deterministic = deterministic
         self.seed = seed
         self.threads = threads or min(8, os.cpu_count() or 1)
+        # The kernel bank is valid ONLY for orig_sr-rate files; the C++
+        # side errors on any other rate instead of silently pitch-shifting.
+        self.orig_sr = orig_sr
         g = math.gcd(orig_sr, cfg.sample_rate)
         self.orig_g, self.new_g = orig_sr // g, cfg.sample_rate // g
         kernel, self.width = _sinc_kernel(self.orig_g, self.new_g)
@@ -154,6 +158,7 @@ class NativeCollate:
             self.orig_g,
             self.new_g,
             self.width,
+            self.orig_sr,
             (self.seed << 20) + self._batch_idx,
             int(self.deterministic),
             self.threads,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Optional, Tuple
 
 import jax
@@ -24,6 +25,25 @@ from .state import TrainState
 
 _CFG_FILE = "cfg.json"
 _META_FILE = "meta.json"
+_TMP_SUFFIX = ".tmp"
+_STALE_SUFFIX = ".stale"
+
+
+def resolve_checkpoint_dir(path: str) -> Optional[str]:
+    """The directory actually holding a complete checkpoint at ``path``.
+
+    Periodic saves swap atomically (write ``path.tmp``, rename ``path`` ->
+    ``path.stale``, rename tmp -> ``path``); a crash between the two renames
+    leaves only ``path.stale`` complete.  Returns None when neither exists —
+    a partially-written ``.tmp`` is never returned.
+    """
+    path = os.path.abspath(path)
+    if os.path.isdir(os.path.join(path, "state")):
+        return path
+    stale = path + _STALE_SUFFIX
+    if os.path.isdir(os.path.join(stale, "state")):
+        return stale
+    return None
 
 
 def _substitute_hubert(params: Any, frozen_host: Any) -> Any:
@@ -58,12 +78,26 @@ def save_checkpoint(
         state = state.replace(
             params=_substitute_hubert(state.params, frozen_host)
         )
+    # Atomic against crashes: the periodic save overwrites the single
+    # elastic-restart checkpoint in place, so a crash mid-save must never
+    # leave a state/ dir without its cfg/meta (or delete the previous save
+    # before the new one is complete).  Write everything into a .tmp
+    # sibling, then swap via two renames; restore resolves a .stale
+    # leftover from a crash between them (resolve_checkpoint_dir).
+    tmp = path + _TMP_SUFFIX
+    stale = path + _STALE_SUFFIX
+    shutil.rmtree(tmp, ignore_errors=True)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.join(path, "state"), state, force=True)
-    with open(os.path.join(path, _CFG_FILE), "w") as f:
+    ckptr.save(os.path.join(tmp, "state"), state, force=True)
+    with open(os.path.join(tmp, _CFG_FILE), "w") as f:
         f.write(cfg.to_json())
-    with open(os.path.join(path, _META_FILE), "w") as f:
+    with open(os.path.join(tmp, _META_FILE), "w") as f:
         json.dump(meta or {}, f)
+    shutil.rmtree(stale, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, stale)
+    os.rename(tmp, path)
+    shutil.rmtree(stale, ignore_errors=True)
 
 
 def restore_checkpoint(
@@ -71,7 +105,7 @@ def restore_checkpoint(
 ) -> Tuple[TrainState, CFG, dict]:
     """Restore (state, cfg, meta).  ``state_template`` fixes pytree structure
     and dtypes/shardings; without it, arrays restore as host numpy."""
-    path = os.path.abspath(path)
+    path = resolve_checkpoint_dir(path) or os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     if state_template is not None:
         def _restore_with(template):
@@ -100,7 +134,9 @@ def restore_checkpoint(
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    if state_template is not None and not isinstance(state, TrainState):
+    if not isinstance(state, TrainState):
+        # The template-less restore hands back orbax's raw dict; wrap it so
+        # the declared TrainState return type holds in both branches.
         state = TrainState(**state)
     return state, cfg, meta
 

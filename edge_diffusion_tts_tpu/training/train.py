@@ -395,12 +395,14 @@ def train(
         )
 
     if resume == "auto":
-        # Elastic restart: pick up the newest periodic checkpoint if one
-        # exists (crash = rerun with resume='auto'; improves on the
-        # reference's manual --resume that also loses optimizer state).
-        resume = cfg.ckpt_path if os.path.isdir(
-            os.path.join(cfg.ckpt_path, "state")
-        ) else None
+        # Elastic restart: pick up the newest complete periodic checkpoint
+        # (crash = rerun with resume='auto'; improves on the reference's
+        # manual --resume that also loses optimizer state).  A crash during
+        # the atomic save swap may leave only the .stale sibling complete —
+        # resolve_checkpoint_dir handles both.
+        from .checkpoint import resolve_checkpoint_dir
+
+        resume = resolve_checkpoint_dir(cfg.ckpt_path)
     resume_meta = {}
     if resume:
         state, _, meta = restore_checkpoint(resume, state)

@@ -212,11 +212,24 @@ def load_tflite(path: str):
             base = detail["name"].split(":")[0]
             for want in named_vals:
                 if base == want or base.endswith("_" + want):
+                    if want in by_name:
+                        raise ValueError(
+                            f"ambiguous tflite input names: {want!r} matches "
+                            f"both {by_name[want]['name']!r} and "
+                            f"{detail['name']!r}"
+                        )
                     by_name[want] = detail
                     break
         if len(by_name) == len(named_vals):
             return [by_name[k] for k in named_vals]
-        return inputs  # name matching failed: fall back to export order
+        # Refusing to guess: t and step_idx share shape+dtype, so a silent
+        # positional fallback could swap them with no error anywhere.
+        raise ValueError(
+            "tflite input names unrecognizable — cannot bind by name "
+            f"(wanted {named_vals}, got "
+            f"{[d['name'] for d in inputs]}); re-export with this "
+            "framework's export_tflite"
+        )
 
     names = ("x_t", "t", "sem_idx", "step_idx")
 

@@ -64,8 +64,11 @@ def retry_transient(
     By default retries jax RuntimeError/JaxRuntimeError whose message looks
     transport/preemption-shaped; anything else re-raises immediately.
     """
+    # Deliberately narrow: INTERNAL (Mosaic compile bugs) and
+    # RESOURCE_EXHAUSTED (a program genuinely over HBM) are deterministic —
+    # retrying them multiplies a guaranteed failure by the backoff budget.
     transient_markers = (
-        "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL", "RESOURCE_EXHAUSTED",
+        "UNAVAILABLE", "DEADLINE_EXCEEDED",
         "preempt", "socket", "connection",
     )
     if retry_on is None:

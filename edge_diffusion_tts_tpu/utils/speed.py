@@ -38,8 +38,13 @@ class TimingContext:
         return self
 
     def __exit__(self, *exc):
-        # Synchronize: wait for everything dispatched so far.
-        (jax.device_put(0.0) + 0).block_until_ready()
+        # Synchronize: a 4-byte D2H fetch, NOT block_until_ready — through
+        # the remote TPU tunnel block_until_ready returns before small
+        # programs actually finish (measured: 0.03 ms reported vs 69 ms
+        # real; see CLAUDE.md).  The fetched scalar depends on fresh device
+        # work dispatched behind everything timed, so its arrival bounds
+        # completion.  For per-iteration device time prefer fit_device_ms.
+        float(jax.device_put(0.0) + 0.0)
         self.elapsed_ms = (time.perf_counter() - self._t0) * 1e3
         if self.verbose:
             print(f"[{self.name}] {self.elapsed_ms:.2f} ms")
@@ -53,16 +58,27 @@ def benchmark(
     runs: int = 20,
     **kwargs,
 ) -> Dict[str, float]:
-    """Warmup + timed runs with block_until_ready; returns stats in ms.
+    """Warmup + timed runs; returns stats in ms.
 
-    Reference: speed_utils.py:185-226 (benchmark_model).
+    Reference: speed_utils.py:185-226 (benchmark_model).  The completion
+    barrier is a scalar D2H fetch of the result's first element —
+    block_until_ready is NOT a reliable barrier through the remote TPU
+    tunnel (CLAUDE.md).  For tunnel-robust per-iteration device time use
+    fit_device_ms instead; this is the quick wall-clock utility.
     """
+    def _sync(result):
+        leaf = jax.tree.leaves(result)
+        if leaf and hasattr(leaf[0], "ravel"):
+            float(leaf[0].ravel()[0])
+        else:
+            jax.block_until_ready(result)
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
+        _sync(fn(*args, **kwargs))
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
+        _sync(fn(*args, **kwargs))
         times.append((time.perf_counter() - t0) * 1e3)
     return {
         "mean_ms": statistics.mean(times),

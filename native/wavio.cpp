@@ -42,9 +42,17 @@ struct FmtChunk {
 
 // Decode a PCM16/PCM32/float32 WAV to float32 mono in [-1, 1].
 // Returns 0 on success; *out is malloc'd (caller frees via edt_free).
+// Errors: -1 open, -2 not RIFF/WAVE, -3 missing fmt/data, -4 unsupported
+// encoding, -5 truncated/corrupt chunk sizes, -6 allocation failure.
 int read_wav_impl(const char* path, float** out, int64_t* out_len, int* out_sr) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  // Total file size: header chunk sizes are untrusted input — a truncated
+  // or corrupt size must become an error, not silent zeros or a bad_alloc
+  // from resize(0xFFFFFFFF).
+  fseek(f, 0, SEEK_END);
+  const int64_t fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
 
   RiffHeader rh;
   if (fread(&rh, sizeof(rh), 1, f) != 1 || memcmp(rh.riff, "RIFF", 4) != 0 ||
@@ -58,14 +66,26 @@ int read_wav_impl(const char* path, float** out, int64_t* out_len, int* out_sr) 
   std::vector<uint8_t> data;
   ChunkHeader ch;
   while (fread(&ch, sizeof(ch), 1, f) == 1) {
+    const int64_t remaining = fsize - ftell(f);
+    if (static_cast<int64_t>(ch.size) > remaining) {
+      fclose(f);
+      return -5;
+    }
     if (memcmp(ch.id, "fmt ", 4) == 0) {
       uint32_t n = ch.size < sizeof(fmt) ? ch.size : sizeof(fmt);
       if (fread(&fmt, n, 1, f) != 1) break;
-      if (ch.size > n) fseek(f, ch.size - n, SEEK_CUR);
+      // Skip any fmt extension plus the RIFF odd-size pad byte, or every
+      // following chunk header is read one byte off.
+      uint32_t skip = ch.size - n + (ch.size & 1);
+      if (skip) fseek(f, skip, SEEK_CUR);
       have_fmt = true;
     } else if (memcmp(ch.id, "data", 4) == 0) {
       data.resize(ch.size);
-      if (ch.size && fread(data.data(), 1, ch.size, f) != ch.size) break;
+      if (ch.size && fread(data.data(), 1, ch.size, f) != ch.size) {
+        fclose(f);
+        return -5;  // truncated data chunk must not decode as silence
+      }
+      if (ch.size & 1) fseek(f, 1, SEEK_CUR);
     } else {
       fseek(f, ch.size + (ch.size & 1), SEEK_CUR);
     }
@@ -109,6 +129,7 @@ int read_wav_impl(const char* path, float** out, int64_t* out_len, int* out_sr) 
   }
 
   *out = static_cast<float*>(malloc(sizeof(float) * frames));
+  if (!*out) return -6;
   memcpy(*out, mono.data(), sizeof(float) * frames);
   *out_len = frames;
   *out_sr = static_cast<int>(fmt.sample_rate);
@@ -158,50 +179,68 @@ int edt_read_wav(const char* path, float** out, int64_t* out_len, int* out_sr) {
 void edt_free(float* p) { free(p); }
 
 // Batch collate: for each path, decode -> (resample if sr != target_sr,
-// using the provided kernel bank) -> crop at a seeded random offset (or 0
-// when deterministic) -> zero-pad -> clamp [-1, 1] -> write out[b].
+// using the provided kernel bank, which is valid ONLY for kernel_sr-rate
+// input — a file at any other rate is an error, never a wrong-ratio
+// resample) -> crop at a seeded random offset (or 0 when deterministic) ->
+// zero-pad -> clamp [-1, 1] -> write out[b].
 // Parallel over batch items with up to `threads` workers.
 // Returns 0, or the 1-based index of the first failing item, negated.
 int edt_collate(const char** paths, int n, int64_t seg_len, int target_sr,
                 const float* kernel, int kw, int orig_g, int new_g, int width,
-                uint64_t seed, int deterministic, int threads, float* out) {
+                int kernel_sr, uint64_t seed, int deterministic, int threads,
+                float* out) {
   std::atomic<int> err{0};
   std::atomic<int> next{0};
   if (threads < 1) threads = 1;
 
   auto worker = [&]() {
-    for (;;) {
-      const int b = next.fetch_add(1);
-      if (b >= n || err.load()) return;
+    try {
+      for (;;) {
+        const int b = next.fetch_add(1);
+        if (b >= n || err.load()) return;
 
-      float* raw = nullptr;
-      int64_t len = 0;
-      int sr = 0;
-      if (read_wav_impl(paths[b], &raw, &len, &sr) != 0) {
-        err.store(-(b + 1));
-        return;
-      }
-      std::vector<float> wav;
-      if (sr != target_sr && kernel != nullptr) {
-        resample_impl(raw, len, kernel, kw, orig_g, new_g, width, &wav);
-      } else {
-        wav.assign(raw, raw + len);
-      }
-      free(raw);
+        float* raw = nullptr;
+        int64_t len = 0;
+        int sr = 0;
+        if (read_wav_impl(paths[b], &raw, &len, &sr) != 0) {
+          err.store(-(b + 1));
+          return;
+        }
+        std::vector<float> wav;
+        if (sr != target_sr) {
+          if (kernel == nullptr || sr != kernel_sr) {
+            // The polyphase kernel encodes a FIXED source rate; silently
+            // applying it to a different-rate file would pitch-shift the
+            // audio with no error.
+            free(raw);
+            err.store(-(b + 1));
+            return;
+          }
+          resample_impl(raw, len, kernel, kw, orig_g, new_g, width, &wav);
+        } else {
+          wav.assign(raw, raw + len);
+        }
+        free(raw);
 
-      const int64_t m = static_cast<int64_t>(wav.size());
-      int64_t start = 0;
-      if (!deterministic && m > seg_len) {
-        start = static_cast<int64_t>(splitmix64(seed * 0x100000001b3ull + b) %
-                                     static_cast<uint64_t>(m - seg_len + 1));
+        const int64_t m = static_cast<int64_t>(wav.size());
+        int64_t start = 0;
+        if (!deterministic && m > seg_len) {
+          start = static_cast<int64_t>(
+              splitmix64(seed * 0x100000001b3ull + b) %
+              static_cast<uint64_t>(m - seg_len + 1));
+        }
+        float* dst = out + static_cast<int64_t>(b) * seg_len;
+        const int64_t count = m - start < seg_len ? m - start : seg_len;
+        for (int64_t i = 0; i < count; ++i) {
+          float v = wav[start + i];
+          dst[i] = v < -1.f ? -1.f : (v > 1.f ? 1.f : v);
+        }
+        for (int64_t i = count; i < seg_len; ++i) dst[i] = 0.f;
       }
-      float* dst = out + static_cast<int64_t>(b) * seg_len;
-      const int64_t count = m - start < seg_len ? m - start : seg_len;
-      for (int64_t i = 0; i < count; ++i) {
-        float v = wav[start + i];
-        dst[i] = v < -1.f ? -1.f : (v > 1.f ? 1.f : v);
-      }
-      for (int64_t i = count; i < seg_len; ++i) dst[i] = 0.f;
+    } catch (...) {
+      // An exception on a worker thread (e.g. bad_alloc) would otherwise
+      // std::terminate the whole process; report it as an item failure.
+      err.store(-n);
     }
   };
 

@@ -81,3 +81,29 @@ def test_native_collate_missing_file_error(wav_dir):
     col = NativeCollate(cfg, orig_sr=22050)
     with pytest.raises(IOError):
         col([wav_dir[0], "/nonexistent/file.wav"])
+
+
+def test_collate_rejects_unexpected_sample_rate(tmp_path):
+    """The polyphase kernel encodes a FIXED source rate: a file at any other
+    rate must be an error, never a silent wrong-ratio (pitch-shifting)
+    resample — the python fallback resamples per-item correctly, so silent
+    corruption here would diverge from it."""
+    cfg = CFG(segment_secs=0.2, out_dir=str(tmp_path))
+    wav = 0.3 * np.sin(2 * np.pi * 300 * np.arange(44100) / 44100)
+    p = str(tmp_path / "hi_rate.wav")
+    _write_wav(p, wav.astype(np.float32), 44100)
+    collate = NativeCollate(cfg, orig_sr=22050, deterministic=True)
+    with pytest.raises(IOError, match="hi_rate"):
+        collate([p])
+
+
+def test_read_wav_truncated_is_error(tmp_path):
+    """A data chunk shorter than its declared size must be an error (-5),
+    not a silent decode to zeros."""
+    wav = 0.3 * np.sin(2 * np.pi * 300 * np.arange(8000) / 22050)
+    p = str(tmp_path / "t.wav")
+    _write_wav(p, wav.astype(np.float32), 22050)
+    blob = open(p, "rb").read()
+    open(p, "wb").write(blob[: len(blob) // 2])  # truncate mid-data
+    with pytest.raises(IOError):
+        read_wav_native(p)

@@ -694,3 +694,34 @@ def test_final_model_carries_vq_codebook(tmp_path):
     save_final_model(path2, params_f, cfg_f)
     params3, _ = restore_final_model(path2)
     assert "vq_state" not in encoder_variables(params3)
+
+
+def test_checkpoint_atomic_save_stale_fallback(setup, tmp_path):
+    """Periodic saves swap atomically; a crash between the two renames
+    leaves only <path>.stale complete, and restore/auto-resume must resolve
+    it instead of dying on a missing or half-written checkpoint."""
+    from edge_diffusion_tts_tpu.training.checkpoint import (
+        resolve_checkpoint_dir,
+    )
+
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state)
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, state, cfg, {"step": 7, "phase": "diffusion"})
+    assert resolve_checkpoint_dir(path) == path
+
+    # Crash window: old checkpoint already moved aside, new one not yet in
+    # place (only .stale is complete). Also leave a half-written .tmp.
+    os.rename(path, path + ".stale")
+    os.makedirs(os.path.join(path + ".tmp", "state"), exist_ok=True)
+    assert resolve_checkpoint_dir(path) == path + ".stale"
+    restored, _, meta = restore_checkpoint(path, state)
+    assert int(restored.step) == int(state.step)
+    assert meta["step"] == 7 and meta["phase"] == "diffusion"
+
+    # A fresh save over the crash debris swaps cleanly.
+    save_checkpoint(path, state, cfg, {"step": 8})
+    assert resolve_checkpoint_dir(path) == path
+    assert not os.path.exists(path + ".stale")
+    _, _, meta2 = restore_checkpoint(path, state)
+    assert meta2["step"] == 8
