@@ -157,13 +157,16 @@ def make_pp_backbone(
     perm = [(i, i + 1) for i in range(n_stages - 1)]
     act_spec = P(None, data_axis)  # [M, mb, T, H]: examples over data axis
 
-    def local_pipeline(det, stack_local, h0_mb, ctx_mb, cond_mb, rng):
+    def local_pipeline(
+        det, stack_local, h0_mb, ctx_mb, cond_mb, rng,
+        mel_mask_mb=None, ctx_mask_mb=None,
+    ):
         s = jax.lax.axis_index(axis)
         if data_axis is not None:
             # Distinct dropout streams per data shard.
             rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
 
-        def apply_stack(h, context, cond, key):
+        def apply_stack(h, context, cond, key, mel_mask, ctx_mask):
             def body(carry, lp):
                 h, i = carry
                 rngs = (
@@ -177,6 +180,8 @@ def make_pp_backbone(
                     context=context,
                     cond=cond,
                     deterministic=det,
+                    mel_mask=mel_mask,
+                    ctx_mask=ctx_mask,
                     rngs=rngs,
                 )
                 return (h, i + 1), None
@@ -193,7 +198,11 @@ def make_pp_backbone(
             # Distinct dropout stream per (stage, tick); bubble ticks are
             # masked out of the output so their draws are inert.
             key = jax.random.fold_in(jax.random.fold_in(rng, k), s)
-            y = apply_stack(h_in, take(ctx_mb), take(cond_mb), key)
+            y = apply_stack(
+                h_in, take(ctx_mb), take(cond_mb), key,
+                None if mel_mask_mb is None else take(mel_mask_mb),
+                None if ctx_mask_mb is None else take(ctx_mask_mb),
+            )
             act_next = jax.lax.ppermute(y, axis, perm)
             return act_next, y
 
@@ -213,7 +222,8 @@ def make_pp_backbone(
         out = jnp.where(s == n_stages - 1, out_last, 0.0)
         return jax.lax.psum(out, axis)
 
-    def fwd(stack, h0, context, t_cond, rng=None, deterministic=True):
+    def fwd(stack, h0, context, t_cond, rng=None, deterministic=True,
+            mel_mask=None, ctx_mask=None):
         B, T, H = h0.shape
         if B % n_mb:
             raise ValueError(f"batch {B} not divisible by microbatches {n_mb}")
@@ -221,13 +231,32 @@ def make_pp_backbone(
         split = lambda a: a.reshape((n_mb, mb) + a.shape[1:])
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        masked = mel_mask is not None or ctx_mask is not None
+        if masked:
+            # Attention key masks (variable-length serving batches) split per
+            # microbatch exactly like the activations they gate; a missing
+            # side is synthesized as all-valid so both cases share one
+            # program shape.
+            if mel_mask is None:
+                mel_mask = jnp.ones((B, T), bool)
+            if ctx_mask is None:
+                ctx_mask = jnp.ones((B, context.shape[1]), bool)
+            args = (
+                stack, split(h0), split(context), split(t_cond), rng,
+                split(mel_mask), split(ctx_mask),
+            )
+            specs = (P(axis), act_spec, act_spec, act_spec, P(),
+                     act_spec, act_spec)
+        else:
+            args = (stack, split(h0), split(context), split(t_cond), rng)
+            specs = (P(axis), act_spec, act_spec, act_spec, P())
         sharded = shard_map(
             functools.partial(local_pipeline, bool(deterministic)),
             mesh=mesh,
-            in_specs=(P(axis), act_spec, act_spec, act_spec, P()),
+            in_specs=specs,
             out_specs=act_spec,
         )
-        out_mb = sharded(stack, split(h0), split(context), split(t_cond), rng)
+        out_mb = sharded(*args)
         return out_mb.reshape(B, T, H)
 
     return fwd
@@ -284,17 +313,12 @@ class PPTrainer(Trainer):
             return super()._decode(
                 params, x_t, t, rng=rng, deterministic=deterministic, **cond
             )
-        if cond.get("sem_mask") is not None or cond.get("mel_mask") is not None:
-            # The staged backbone does not thread attention key masks through
-            # the microbatch tick schedule; masked (variable-length serving)
-            # batches are a serving-path feature — serve with the DP path
-            # (serving.run_server mesh=N) instead of a PP-packed tree.
-            raise NotImplementedError(
-                "pipeline-parallel decode does not support sem_mask/mel_mask; "
-                "use the data-parallel serving path for masked batches"
-            )
-        cond.pop("sem_mask", None)
-        cond.pop("mel_mask", None)
+        # Attention key masks (variable-length serving batches) thread into
+        # the staged backbone per microbatch; the prelude is maskless like
+        # the non-PP decoder (padded context rows embed but are excluded
+        # from attention inside the blocks).
+        sem_mask = cond.pop("sem_mask", None)
+        mel_mask = cond.pop("mel_mask", None)
         rest = {"params": params["pp_rest"]}
         h0, context, t_cond = self.decoder.apply(
             rest, x_t, t, method=self.decoder.prelude, **cond
@@ -302,6 +326,7 @@ class PPTrainer(Trainer):
         h = self._pp_fwd(
             params["pp_stack"], h0, context, t_cond,
             rng=rng, deterministic=deterministic or rng is None,
+            mel_mask=mel_mask, ctx_mask=sem_mask,
         )
         return self.decoder.apply(rest, h, method=self.decoder.postlude)
 

@@ -94,6 +94,82 @@ def test_pp_backbone_matches_sequential(n_stages, n_mb):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_pp_backbone_masked_matches_sequential():
+    """Attention key masks (variable-length serving batches) thread through
+    the staged backbone: masked PP forward == masked single-device backbone
+    on every valid row."""
+    cfg = _cfg(layers=4)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, jax.random.PRNGKey(0), cfg)["params"]
+    from edge_diffusion_tts_tpu.parallel.pipeline_parallel import (
+        stack_layer_params,
+    )
+
+    stack, _rest = stack_layer_params(params)
+
+    B, T, H, C = 8, 12, cfg.hidden, 6
+    k = jax.random.PRNGKey(1)
+    h0 = jax.random.normal(k, (B, T, H))
+    ctx = jax.random.normal(jax.random.fold_in(k, 1), (B, C, H))
+    cond = jax.random.normal(jax.random.fold_in(k, 2), (B, H))
+    rng = np.random.default_rng(0)
+    ctx_mask = jnp.asarray(rng.integers(0, 2, (B, C)) > 0).at[:, 0].set(True)
+    mel_mask = jnp.asarray(rng.integers(0, 2, (B, T)) > 0).at[:, 0].set(True)
+
+    want = dec.apply(
+        {"params": params}, h0, ctx, cond, deterministic=True,
+        mel_mask=mel_mask, ctx_mask=ctx_mask, method=dec.backbone,
+    )
+    pp_fwd = make_pp_backbone(cfg, pipe_mesh(4), 4)
+    got = pp_fwd(stack, h0, ctx, cond, mel_mask=mel_mask, ctx_mask=ctx_mask)
+    valid = np.asarray(mel_mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5
+    )
+
+
+def test_pp_trainer_masked_decode_matches_plain():
+    """PPTrainer._decode on a packed tree accepts sem_mask/mel_mask (the
+    serving-batch contract) and matches the unpacked masked decoder."""
+    cfg = _cfg(layers=4)
+    dec = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(dec, jax.random.PRNGKey(0), cfg)["params"]
+    from edge_diffusion_tts_tpu.parallel.pipeline_parallel import (
+        PPTrainer, pp_pack_params,
+    )
+    from edge_diffusion_tts_tpu.models.hubert import HubertConfig as HC
+    from edge_diffusion_tts_tpu.models import SemanticEncoder
+
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+    tx = make_optimizer(cfg, total_steps=10)
+    enc = SemanticEncoder(cfg, HC.tiny())
+    trainer = PPTrainer(cfg, enc, dec, schedule, tx, pipe_mesh(4), 4)
+
+    B, S = 4, 6
+    T = 2 * S
+    rng = np.random.default_rng(1)
+    x_t = jnp.asarray(rng.standard_normal((B, T, cfg.n_mels)), jnp.float32)
+    t = jnp.asarray(rng.integers(1, cfg.diff_steps, (B,)), jnp.int32)
+    sem = jnp.asarray(
+        rng.integers(0, cfg.effective_codebook_size(), (B, S)), jnp.int32
+    )
+    sem_mask = jnp.asarray(rng.integers(0, 2, (B, S)) > 0).at[:, 0].set(True)
+    mel_mask = jnp.repeat(sem_mask, 2, axis=1)
+
+    ref = dec.apply(
+        {"params": params}, x_t, t, sem_idx=sem,
+        sem_mask=sem_mask, mel_mask=mel_mask,
+    )
+    packed = pp_pack_params({"decoder": params})["decoder"]
+    got = trainer._decode(
+        packed, x_t, t, sem_idx=sem, sem_mask=sem_mask, mel_mask=mel_mask
+    )
+    valid = np.asarray(mel_mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(ref)[valid], atol=2e-5
+    )
+
+
 def test_pp_backbone_grads_match():
     """Gradients flow back through ppermute/psum identically to the
     sequential backbone (the transpose of the pipeline schedule)."""
