@@ -116,6 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="persistent XLA compilation-cache dir: server "
                          "restarts reuse the per-bucket programs instead of "
                          "recompiling at warmup")
+    sv.add_argument("--longform", action="store_true",
+                    help="also serve streaming long-form requests "
+                         "({'longform': ...} protocol lines): wav in, "
+                         "finalized mel/waveform increments streamed out")
+    sv.add_argument("--chunk-seconds", type=float, default=2.0,
+                    help="long-form chunk length (with --longform)")
+    sv.add_argument("--overlap-seconds", type=float, default=0.5,
+                    help="long-form chunk overlap (with --longform)")
 
     mg = sub.add_parser(
         "migrate", help="convert a PyTorch-reference .pt checkpoint"
@@ -208,12 +216,13 @@ def main(argv=None):
         from scipy.io import wavfile
 
         from .data import load_wav, resample_np
-        from .models import EdgeDiffusionDecoder, HubertConfig, SemanticEncoder
+        from .models import EdgeDiffusionDecoder, SemanticEncoder
         from .pipeline import LongFormPipeline
         from .schedule import DiffusionSchedule
         from .training.checkpoint import (
             encoder_variables,
             restore_final_model,
+            restore_hubert_config,
         )
 
         params, cfg = restore_final_model(args.checkpoint)
@@ -221,7 +230,7 @@ def main(argv=None):
         if sr != cfg.sample_rate:
             wav = resample_np(wav, sr, cfg.sample_rate)
 
-        encoder = SemanticEncoder(cfg, HubertConfig())
+        encoder = SemanticEncoder(cfg, restore_hubert_config(args.checkpoint))
         decoder = EdgeDiffusionDecoder(cfg)
         pipe = LongFormPipeline(
             cfg,
@@ -304,6 +313,9 @@ def main(argv=None):
                 sampler=args.sampler,
                 mesh=args.mesh,
                 seed=args.seed,
+                longform=args.longform,
+                chunk_seconds=args.chunk_seconds,
+                overlap_seconds=args.overlap_seconds,
             )
         except ValueError as e:
             raise SystemExit(str(e))

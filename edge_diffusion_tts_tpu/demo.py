@@ -118,9 +118,9 @@ def generate_sample(
                       (np.clip(rec, -1, 1) * 32767).astype(np.int16))
         return rec, cfg.sample_rate
 
-    from .training.checkpoint import encoder_variables
+    from .training.checkpoint import encoder_variables, restore_hubert_config
 
-    encoder = SemanticEncoder(cfg, hubert_cfg or HubertConfig())
+    encoder = SemanticEncoder(cfg, hubert_cfg or restore_hubert_config(ckpt_path))
     decoder = EdgeDiffusionDecoder(cfg)
     schedule = DiffusionSchedule.create(cfg.diff_steps)
 

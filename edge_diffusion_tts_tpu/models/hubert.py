@@ -22,6 +22,7 @@ input (post pos-conv+LN), index i is the output of layer i, index 12 is final.
 from __future__ import annotations
 
 import dataclasses
+import json
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -45,6 +46,16 @@ class HubertConfig:
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
     layer_norm_eps: float = 1e-5
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "HubertConfig":
+        d = json.loads(s)
+        return cls(**{
+            k: tuple(v) if isinstance(v, list) else v for k, v in d.items()
+        })
 
     @classmethod
     def tiny(cls) -> "HubertConfig":

@@ -242,10 +242,79 @@ class MicroBatcher:
                         t.done.set()
 
 
+# -- streaming long-form ----------------------------------------------------
+
+
+def make_longform_fn(pipe) -> Callable:
+    """Adapt a ``LongFormPipeline`` to the server's long-form contract.
+
+    Returns ``fn(wav: np.ndarray [T], opts: dict) -> iterator of
+    (increment, offset)``: mel increments (``[n_mels, F]`` linear mel,
+    frame offsets) by default, waveform increments (1-D f32, sample
+    offsets) when ``opts["audio"]`` is set.  ``opts["seed"]`` pins the
+    stream's PRNG so a request is reproducible — unlike the micro-batched
+    path, a long-form stream never shares a device program with other
+    requests, so determinism is well-defined per request.
+    """
+
+    def fn(wav: np.ndarray, opts: dict):
+        import jax
+
+        kw = dict(
+            steps=int(opts.get("steps", 50)),
+            strength=float(opts.get("strength", 0.6)),
+            cfg_scale=float(opts.get("cfg_scale", 2.0)),
+            rng=jax.random.PRNGKey(int(opts.get("seed", 0))),
+        )
+        if opts.get("audio"):
+            return pipe.generate_streaming_audio(
+                wav,
+                griffin_lim_iters=int(opts.get("griffin_lim_iters", 50)),
+                **kw,
+            )
+        return pipe.generate_streaming(wav, **kw)
+
+    return fn
+
+
 # -- TCP transport ---------------------------------------------------------
 
 
 class _Handler(socketserver.StreamRequestHandler):
+    def _send(self, resp: dict):
+        self.wfile.write((json.dumps(resp) + "\n").encode())
+        self.wfile.flush()
+
+    def _handle_longform(self, req: dict):
+        import base64
+
+        fn = self.server.longform_fn
+        if fn is None:
+            raise RuntimeError(
+                "server was not started with long-form support "
+                "(serve --longform)"
+            )
+        if "wav_b64" in req:
+            wav = np.frombuffer(base64.b64decode(req["wav_b64"]), "<f4")
+        else:
+            wav = np.asarray(req["wav"], np.float32)
+        if wav.size == 0:
+            raise ValueError("longform request carries no audio")
+        n = 0
+        # One long-form stream owns the device at a time: increments are
+        # sequential by construction, and interleaving two streams would
+        # only thrash compiled-program state without adding throughput.
+        with self.server.longform_lock:
+            for seg, offset in fn(wav, req):
+                seg = np.ascontiguousarray(np.asarray(seg, "<f4"))
+                self._send({
+                    "seg_b64": base64.b64encode(seg.tobytes()).decode("ascii"),
+                    "shape": list(seg.shape),
+                    "offset": int(offset),
+                })
+                n += 1
+        self._send({"done": True, "segments": n})
+
     def handle(self):
         for line in self.rfile:
             line = line.strip()
@@ -257,6 +326,14 @@ class _Handler(socketserver.StreamRequestHandler):
                     resp = {"stats": self.server.batcher.stats()}
                     self.wfile.write((json.dumps(resp) + "\n").encode())
                     self.wfile.flush()
+                    continue
+                if "longform" in req:
+                    # Streamed response: one line per finalized increment,
+                    # then a {"done": true} terminator (protocol in the
+                    # TTSServer docstring).  Mid-stream failures fall
+                    # through to the shared error line below, which the
+                    # client treats as the stream terminator.
+                    self._handle_longform(req["longform"])
                     continue
                 mel = self.server.batcher.generate(
                     np.asarray(req["tokens"], np.int32),
@@ -293,22 +370,36 @@ class TTSServer(socketserver.ThreadingTCPServer):
     ``{"error": "..."}``.  ``{"stats": true}`` returns the serving
     counters.  Concurrent connections share the batcher, so simultaneous
     requests ride the same device program.
+
+    Long-form streaming (when started with a ``longform_fn``):
+    ``{"longform": {"wav_b64": <b64 raw f32 @16k>, "audio": bool?,
+    "steps": n?, "strength": s?, "cfg_scale": c?, "seed": k?}}`` streams
+    one line per finalized increment —
+    ``{"seg_b64": ..., "shape": [...], "offset": n}`` (linear mel
+    ``[n_mels, F]`` at frame offsets, or 1-D waveform at sample offsets
+    with ``audio``) — terminated by ``{"done": true, "segments": k}``.
+    A mid-stream failure terminates with ``{"error": ...}`` instead.
     """
 
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, addr, batcher: MicroBatcher):
+    def __init__(self, addr, batcher: MicroBatcher, longform_fn=None):
         super().__init__(addr, _Handler)
         self.batcher = batcher
+        self.longform_fn = longform_fn
+        self.longform_lock = threading.Lock()
 
 
 def serve_tcp(
-    batcher: MicroBatcher, host: str = "127.0.0.1", port: int = 7455
+    batcher: MicroBatcher,
+    host: str = "127.0.0.1",
+    port: int = 7455,
+    longform_fn=None,
 ) -> TTSServer:
     """Start serving in a background thread; returns the server (``.shutdown()``
     to stop).  Port 0 picks a free port (``server.server_address``)."""
-    server = TTSServer((host, port), batcher)
+    server = TTSServer((host, port), batcher, longform_fn=longform_fn)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
 
@@ -326,6 +417,9 @@ def run_server(
     warmup: bool = True,
     verbose: bool = True,
     seed: int = 0,
+    longform: bool = False,
+    chunk_seconds: float = 2.0,
+    overlap_seconds: float = 0.5,
 ):
     """Checkpoint -> warmed MicroBatcher + live TCP server (CLI ``serve``).
 
@@ -361,9 +455,10 @@ def run_server(
 
     params, cfg = restore_final_model(checkpoint)
     decoder = EdgeDiffusionDecoder(cfg)
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
     inf = EdgeInference(
         cfg,
-        DiffusionSchedule.create(cfg.diff_steps),
+        schedule,
         decoder.apply,
         {"params": params["decoder"]},
         sampler=sampler,
@@ -415,6 +510,34 @@ def run_server(
                 sem_mask=jnp.asarray(sem_mask),
             )
 
+    longform_fn = None
+    if longform:
+        # Voice-regeneration streaming: wav -> frozen HuBERT features ->
+        # chunked inpaint/crossfade decode, increments streamed as they
+        # finalize (pipeline.py).  Runs per-request (never batched), so it
+        # gets its own pipeline alongside the micro-batched token path.
+        from .models import SemanticEncoder
+        from .pipeline import LongFormPipeline
+        from .training.checkpoint import (
+            encoder_variables,
+            restore_hubert_config,
+        )
+
+        encoder = SemanticEncoder(cfg, restore_hubert_config(checkpoint))
+        pipe = LongFormPipeline(
+            cfg,
+            schedule,
+            lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
+            params["decoder"],
+            encoder_apply=lambda variables, w: encoder.apply(
+                variables, w, train=False
+            )[0],
+            encoder_params=encoder_variables(params),
+            chunk_seconds=chunk_seconds,
+            overlap_seconds=overlap_seconds,
+        )
+        longform_fn = make_longform_fn(pipe)
+
     batcher = MicroBatcher(
         generate_fn, buckets=buckets, max_batch=max_batch,
         max_wait_ms=max_wait_ms,
@@ -429,7 +552,7 @@ def run_server(
             batcher.generate([1] * b, timeout=3600.0)
             say(f"serve: bucket {b} compiled")
         batcher.reset_stats()
-    server = serve_tcp(batcher, host=host, port=port)
+    server = serve_tcp(batcher, host=host, port=port, longform_fn=longform_fn)
     say(
         f"serving on {server.server_address[0]}:{server.server_address[1]} "
         f"(steps={steps}, buckets={buckets}, max_batch={max_batch})"
@@ -470,3 +593,52 @@ def request_tts(
             base64.b64decode(resp["mel_b64"]), "<f4"
         ).reshape(resp["shape"]).copy()
     return np.asarray(resp["mel"], np.float32)
+
+
+def request_longform(
+    wav: np.ndarray,
+    host: str = "127.0.0.1",
+    port: int = 7455,
+    timeout: float = 3600.0,
+    audio: bool = False,
+    **opts,
+):
+    """Stream a long-form generation; yields (increment, offset) live.
+
+    ``wav`` is the source waveform at the model rate (f32, 16 kHz default).
+    Yields linear-mel increments ``[n_mels, F]`` at frame offsets, or — with
+    ``audio=True`` — playable 1-D waveform increments at sample offsets, as
+    each becomes final on the server (TTSServer long-form protocol).  Extra
+    ``opts`` pass through: steps, strength, cfg_scale, seed,
+    griffin_lim_iters.
+    """
+    import base64
+
+    wav = np.ascontiguousarray(np.asarray(wav, "<f4").reshape(-1))
+    req = {"longform": dict(
+        opts, wav_b64=base64.b64encode(wav.tobytes()).decode("ascii"),
+        audio=bool(audio),
+    )}
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        s.sendall((json.dumps(req) + "\n").encode())
+        buf = b""
+        while True:
+            nl = buf.find(b"\n")
+            if nl < 0:
+                chunk = s.recv(1 << 20)
+                if not chunk:
+                    raise ConnectionError(
+                        "server closed the long-form stream mid-way"
+                    )
+                buf += chunk
+                continue
+            line, buf = buf[:nl], buf[nl + 1:]
+            resp = json.loads(line.decode())
+            if "error" in resp:
+                raise RuntimeError(resp["error"])
+            if resp.get("done"):
+                return
+            seg = np.frombuffer(
+                base64.b64decode(resp["seg_b64"]), "<f4"
+            ).reshape(resp["shape"]).copy()
+            yield seg, int(resp["offset"])

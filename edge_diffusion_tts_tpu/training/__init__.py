@@ -3,6 +3,7 @@
 from .checkpoint import (
     restore_checkpoint,
     restore_final_model,
+    restore_hubert_config,
     save_checkpoint,
     save_final_model,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "progressive_step_schedule",
     "restore_checkpoint",
     "restore_final_model",
+    "restore_hubert_config",
     "save_checkpoint",
     "save_final_model",
     "train",

@@ -21,9 +21,11 @@ import jax
 import orbax.checkpoint as ocp
 
 from ..config import CFG
+from ..models.hubert import HubertConfig
 from .state import TrainState
 
 _CFG_FILE = "cfg.json"
+_HUBERT_FILE = "hubert.json"
 _META_FILE = "meta.json"
 _TMP_SUFFIX = ".tmp"
 _STALE_SUFFIX = ".stale"
@@ -62,6 +64,7 @@ def save_checkpoint(
     cfg: CFG,
     meta: Optional[dict] = None,
     frozen_host: Optional[Any] = None,
+    hubert_cfg: Optional[HubertConfig] = None,
 ):
     """Save the full train state + cfg (+ free-form meta) at ``path``.
 
@@ -91,6 +94,9 @@ def save_checkpoint(
     ckptr.save(os.path.join(tmp, "state"), state, force=True)
     with open(os.path.join(tmp, _CFG_FILE), "w") as f:
         f.write(cfg.to_json())
+    if hubert_cfg is not None:
+        with open(os.path.join(tmp, _HUBERT_FILE), "w") as f:
+            f.write(hubert_cfg.to_json())
     with open(os.path.join(tmp, _META_FILE), "w") as f:
         json.dump(meta or {}, f)
     shutil.rmtree(stale, ignore_errors=True)
@@ -144,6 +150,7 @@ def restore_checkpoint(
 def save_final_model(
     path: str, params: Any, cfg: CFG, frozen_host: Optional[Any] = None,
     vq_state: Optional[Any] = None,
+    hubert_cfg: Optional[HubertConfig] = None,
 ):
     """Inference-only artifact: {encoder, decoder} params + cfg.
 
@@ -165,6 +172,9 @@ def save_final_model(
     ocp.PyTreeCheckpointer().save(os.path.join(path, "params"), params, force=True)
     with open(os.path.join(path, _CFG_FILE), "w") as f:
         f.write(cfg.to_json())
+    if hubert_cfg is not None:
+        with open(os.path.join(path, _HUBERT_FILE), "w") as f:
+            f.write(hubert_cfg.to_json())
 
 
 def restore_final_model(path: str) -> Tuple[Any, CFG]:
@@ -173,6 +183,25 @@ def restore_final_model(path: str) -> Tuple[Any, CFG]:
     with open(os.path.join(path, _CFG_FILE)) as f:
         cfg = CFG.from_json(f.read())
     return params, cfg
+
+
+def restore_hubert_config(path: str) -> HubertConfig:
+    """The HuBERT architecture a checkpoint's encoder params were built for.
+
+    Checkpoints record it as ``hubert.json`` (save_checkpoint /
+    save_final_model ``hubert_cfg=``); consumers that rebuild the
+    SemanticEncoder around restored params (serve --longform, longform,
+    demo) must use this instead of assuming the full-size default —
+    otherwise a tiny-HuBERT checkpoint fails module/params shape checks.
+    Falls back to the full-size default for artifacts predating the file
+    (and reference-migrated ones, which are always full-size).
+    """
+    path = resolve_checkpoint_dir(path) or os.path.abspath(path)
+    p = os.path.join(path, _HUBERT_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            return HubertConfig.from_json(f.read())
+    return HubertConfig()
 
 
 def encoder_variables(params: Any) -> dict:

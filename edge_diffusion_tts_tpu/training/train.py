@@ -235,6 +235,7 @@ def train(
         )
 
     rng, k_init = jax.random.split(rng)
+    hubert_cfg = hubert_cfg or HubertConfig()
     encoder, decoder, params, vq_state = init_models(
         cfg, k_init, hubert_cfg, hubert_params
     )
@@ -485,7 +486,8 @@ def train(
             if step % cfg.ckpt_every_steps == 0:
                 save_checkpoint(cfg.ckpt_path, st, cfg,
                                 {"step": step, **progress},
-                                frozen_host=_frozen_host(st))
+                                frozen_host=_frozen_host(st),
+                                hubert_cfg=hubert_cfg)
 
         hooks = (hooks or []) + [_periodic_ckpt]
 
@@ -528,7 +530,7 @@ def train(
                 save_checkpoint(
                     os.path.join(run_dir, "best_diffusion"), st, cfg,
                     {"val_eps_mse": mean, "step": step},
-                    frozen_host=_frozen_host(st),
+                    frozen_host=_frozen_host(st), hubert_cfg=hubert_cfg,
                 )
 
         diffusion_hooks = (hooks or []) + [_mid_epoch_eval]
@@ -562,7 +564,7 @@ def train(
             save_checkpoint(
                 os.path.join(run_dir, "best_model"), state, cfg,
                 {"val_cos": best_val_cos, "phase": tag},
-                frozen_host=_frozen_host(state),
+                frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg,
             )
 
     # ---- Phase 1: diffusion ------------------------------------------------
@@ -588,7 +590,7 @@ def train(
             _maybe_validate(state, "diffusion")
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase1"), state, cfg,
                         {"phase_complete": "diffusion"},
-                        frozen_host=_frozen_host(state))
+                        frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg)
 
     # ---- Phase 2: progressive distillation ---------------------------------
     if "progressive" in phases and _phase_done("progressive"):
@@ -622,7 +624,7 @@ def train(
             _maybe_validate(state, f"prog{target_steps}")
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase2"), state, cfg,
                         {"phase_complete": "progressive"},
-                        frozen_host=_frozen_host(state))
+                        frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg)
 
     # ---- Phase 3: consistency ----------------------------------------------
     if "consistency" in phases and _phase_done("consistency"):
@@ -657,10 +659,11 @@ def train(
         final_params = pp_unpack_params(jax.device_get(state.params))
     save_final_model(os.path.join(run_dir, "edge_model_final"), final_params,
                      cfg, frozen_host=_frozen_host(state),
-                     vq_state=jax.device_get(state.vq_state) or None)
+                     vq_state=jax.device_get(state.vq_state) or None,
+                     hubert_cfg=hubert_cfg)
     save_checkpoint(os.path.join(run_dir, "checkpoint_final"), state, cfg,
                     {"phase_complete": "consistency"},
-                    frozen_host=_frozen_host(state))
+                    frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg)
     if export:
         from ..utils.export import export_for_edge
 

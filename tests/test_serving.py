@@ -331,6 +331,47 @@ def test_run_server_eps_checkpoint(tmp_path):
                    verbose=False, warmup=False)
 
 
+def test_run_server_longform_tiny_hubert(tmp_path):
+    # The full `serve --longform` flow from a training checkpoint whose
+    # encoder is a tiny HuBERT: run_server must rebuild the SemanticEncoder
+    # from the architecture recorded in the artifact (hubert.json,
+    # restore_hubert_config) — assuming the full-size default would fail
+    # the module/params shape check.
+    from edge_diffusion_tts_tpu.models import HubertConfig
+    from edge_diffusion_tts_tpu.serving import request_longform, run_server
+    from edge_diffusion_tts_tpu.training.checkpoint import save_final_model
+    from edge_diffusion_tts_tpu.training.train import init_models
+
+    cfg = small_cfg(layers=1, diff_steps=16, segment_secs=0.5, use_fsq=True)
+    hc = HubertConfig.tiny()
+    _, _, params, vq_state = init_models(cfg, KEY, hc)
+    ckpt = str(tmp_path / "final")
+    save_final_model(ckpt, params, cfg, vq_state=vq_state or None,
+                     hubert_cfg=hc)
+
+    server, batcher = run_server(
+        ckpt, port=0, steps=2, buckets=(8,), max_batch=2, max_wait_ms=5.0,
+        verbose=False, warmup=False, longform=True,
+        chunk_seconds=0.4, overlap_seconds=0.1,
+    )
+    try:
+        host, port = server.server_address
+        t = np.arange(int(0.9 * cfg.sample_rate)) / cfg.sample_rate
+        wav = (0.2 * np.sin(2 * np.pi * 260 * t)).astype(np.float32)
+        segs = list(request_longform(
+            wav, host=host, port=port, steps=2, strength=0.3,
+            cfg_scale=1.0, seed=3,
+        ))
+        assert len(segs) >= 1
+        total = sum(seg.shape[1] for seg, _ in segs)
+        assert total > 0
+        assert all(np.isfinite(seg).all() for seg, _ in segs)
+        assert all(seg.shape[0] == cfg.n_mels for seg, _ in segs)
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
 def test_micro_batcher_mixed_buckets_fill():
     # Mixed-bucket traffic must fill each bucket's program: 4 short + 4 long
     # submitted together -> exactly two FULL batches, not four half-empty
@@ -354,6 +395,121 @@ def test_micro_batcher_mixed_buckets_fill():
 # ---------------------------------------------------------------------------
 # TCP transport
 # ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def longform_server():
+    # Tiny LongFormPipeline behind the TCP front-end (serve --longform path):
+    # micro-batched token requests and streaming long-form requests share
+    # one server.
+    from edge_diffusion_tts_tpu.pipeline import LongFormPipeline
+    from edge_diffusion_tts_tpu.serving import make_longform_fn
+
+    cfg = CFG(hidden=32, layers=1, heads=2, diff_steps=50, dropout=0.0,
+              out_dir="/tmp/edt_test_runs")
+    decoder = EdgeDiffusionDecoder(cfg)
+    params = init_decoder_params(decoder, KEY, cfg)["params"]
+
+    def encoder_apply(_, wav):
+        S = wav.shape[-1] // 320
+        return jnp.zeros((wav.shape[0], S, cfg.semantic_dim), jnp.float32)
+
+    pipe = LongFormPipeline(
+        cfg,
+        DiffusionSchedule.create(cfg.diff_steps),
+        lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
+        params,
+        encoder_apply=encoder_apply,
+        encoder_params={},
+        chunk_seconds=0.5,
+        overlap_seconds=0.125,
+    )
+    mb = MicroBatcher(_fake_generate, buckets=(8,), max_batch=2,
+                      max_wait_ms=10.0)
+    server = serve_tcp(mb, port=0, longform_fn=make_longform_fn(pipe))
+    yield cfg, pipe, server
+    server.shutdown()
+    mb.close()
+
+
+def test_tcp_longform_stream_matches_offline(longform_server):
+    # The streamed mel increments concatenate to exactly the offline
+    # generation under the same seed (the per-request PRNG contract).
+    from edge_diffusion_tts_tpu.serving import request_longform
+
+    cfg, pipe, server = longform_server
+    host, port = server.server_address
+    secs = 1.2
+    wav = 0.2 * np.sin(
+        2 * np.pi * 300 * np.arange(int(secs * cfg.sample_rate))
+        / cfg.sample_rate
+    ).astype(np.float32)
+    kw = dict(steps=2, strength=0.3, cfg_scale=1.0)
+
+    segs = list(request_longform(wav, host=host, port=port, seed=7, **kw))
+    assert len(segs) >= 2
+    offsets = [off for _, off in segs]
+    widths = [seg.shape[1] for seg, _ in segs]
+    assert offsets[0] == 0
+    assert all(
+        o2 == o1 + w for o1, o2, w in zip(offsets, offsets[1:], widths)
+    )
+    streamed = np.concatenate([seg for seg, _ in segs], axis=1)
+    offline, _ = pipe.generate(
+        wav, vocode=False, rng=jax.random.PRNGKey(7), **kw
+    )
+    np.testing.assert_allclose(streamed, offline, rtol=1e-5, atol=1e-6)
+
+    # Token micro-batch requests still work on the same server.
+    mel = request_tts([5, 6], host=host, port=port, timeout=30.0)
+    assert mel.shape == (4, 4)
+
+
+def test_tcp_longform_audio_stream(longform_server):
+    # audio=True streams playable 1-D waveform increments with contiguous
+    # sample offsets.
+    from edge_diffusion_tts_tpu.serving import request_longform
+
+    cfg, _, server = longform_server
+    host, port = server.server_address
+    wav = 0.2 * np.sin(
+        2 * np.pi * 220 * np.arange(int(0.9 * cfg.sample_rate))
+        / cfg.sample_rate
+    ).astype(np.float32)
+
+    segs = list(request_longform(
+        wav, host=host, port=port, audio=True, steps=2, strength=0.3,
+        cfg_scale=1.0, griffin_lim_iters=4, seed=1,
+    ))
+    assert len(segs) >= 1
+    pos = 0
+    for seg, off in segs:
+        assert seg.ndim == 1
+        assert off == pos
+        assert np.isfinite(seg).all()
+        pos += seg.shape[0]
+    assert 0 < pos <= wav.size
+
+
+def test_tcp_longform_unsupported_and_empty(longform_server):
+    # A server without longform_fn rejects the request with a clean error;
+    # an empty waveform is rejected by the handler.
+    from edge_diffusion_tts_tpu.serving import request_longform
+
+    cfg, _, server = longform_server
+    host, port = server.server_address
+    with pytest.raises(RuntimeError, match="no audio"):
+        list(request_longform(np.zeros(0), host=host, port=port))
+
+    mb = MicroBatcher(_fake_generate, buckets=(8,), max_batch=2)
+    bare = serve_tcp(mb, port=0)
+    try:
+        h2, p2 = bare.server_address
+        with pytest.raises(RuntimeError, match="longform"):
+            list(request_longform(np.zeros(100, np.float32), host=h2, port=p2))
+    finally:
+        bare.shutdown()
+        mb.close()
 
 
 def test_tcp_round_trip():

@@ -696,6 +696,34 @@ def test_final_model_carries_vq_codebook(tmp_path):
     assert "vq_state" not in encoder_variables(params3)
 
 
+def test_checkpoint_records_hubert_architecture(setup, tmp_path):
+    """Checkpoints record the encoder's HuBERT architecture (hubert.json) so
+    consumers that rebuild the SemanticEncoder (serve --longform, longform,
+    demo) restore the right module instead of assuming full-size; artifacts
+    predating the file fall back to the full-size default."""
+    from edge_diffusion_tts_tpu.training.checkpoint import (
+        restore_hubert_config,
+        save_checkpoint,
+        save_final_model,
+    )
+
+    cfg, trainer, state, batch = setup
+    hc = HubertConfig.tiny()
+
+    fpath = str(tmp_path / "final")
+    save_final_model(fpath, {"decoder": {}, "encoder": {}}, cfg, hubert_cfg=hc)
+    assert restore_hubert_config(fpath) == hc
+
+    cpath = str(tmp_path / "ckpt")
+    save_checkpoint(cpath, jax.tree.map(jnp.copy, state), cfg, hubert_cfg=hc)
+    assert restore_hubert_config(cpath) == hc
+
+    # Legacy artifact without hubert.json -> full-size default.
+    legacy = str(tmp_path / "legacy")
+    save_final_model(legacy, {"decoder": {}, "encoder": {}}, cfg)
+    assert restore_hubert_config(legacy) == HubertConfig()
+
+
 def test_checkpoint_atomic_save_stale_fallback(setup, tmp_path):
     """Periodic saves swap atomically; a crash between the two renames
     leaves only <path>.stale complete, and restore/auto-resume must resolve
