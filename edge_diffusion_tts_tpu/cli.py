@@ -120,6 +120,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also serve streaming long-form requests "
                          "({'longform': ...} protocol lines): wav in, "
                          "finalized mel/waveform increments streamed out")
+    sv.add_argument("--longform-streams", type=int, default=4,
+                    help="max concurrent long-form streams batched into one "
+                         "device program per chunk tick (with --longform)")
     sv.add_argument("--chunk-seconds", type=float, default=2.0,
                     help="long-form chunk length (with --longform)")
     sv.add_argument("--overlap-seconds", type=float, default=0.5,
@@ -314,6 +317,7 @@ def main(argv=None):
                 mesh=args.mesh,
                 seed=args.seed,
                 longform=args.longform,
+                longform_streams=args.longform_streams,
                 chunk_seconds=args.chunk_seconds,
                 overlap_seconds=args.overlap_seconds,
             )

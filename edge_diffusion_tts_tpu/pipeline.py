@@ -78,6 +78,15 @@ class LongFormPipeline:
     def _build_refine(self, strength: float, steps: int, cfg_scale: float):
         """One XLA program: noise -> steps x (CFG decode + inpaint DDIM) -> x0.
 
+        Batched over a leading stream axis B, and every row is a pure
+        function of its OWN inputs: per-row PRNG keys (``rngs [B]``) drive
+        all noise draws and a per-row ``have_known [B]`` flag gates the
+        inpainting, so a row's result does not depend on which other streams
+        share the batch.  That independence is what lets the serving-side
+        ``LongFormScheduler`` continuously batch concurrent long-form
+        streams while keeping each stream reproducible from its seed alone
+        (tests/test_pipeline.py::test_refine_batch_rows_match_single).
+
         Reference semantics: inpaint_teacher_refine
         (inference_pipeline.py:145-196).
         """
@@ -92,27 +101,33 @@ class LongFormPipeline:
         )
 
         @jax.jit
-        def refine(params, x_coarse, sem_features, known_mel, have_known, rng):
+        def refine(params, x_coarse, sem_features, known_mel, have_known, rngs):
             B, T, M = x_coarse.shape
-            k_init, k_loop = jax.random.split(rng)
+            keys = jax.vmap(jax.random.split)(rngs)  # [B, 2] keys
+            k_init, k_loop = keys[:, 0], keys[:, 1]
             t0 = jnp.full((B,), t_start, jnp.int32)
-            noise = jax.random.normal(k_init, x_coarse.shape, x_coarse.dtype)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (T, M), x_coarse.dtype)
+            )(k_init)
             x_curr, _ = schedule.q_sample(x_coarse, t0, noise)
 
             frame_idx = jnp.arange(T)[None, :, None]
-            overlap_mask = (frame_idx < overlap) & have_known
+            overlap_mask = (frame_idx < overlap) & have_known[:, None, None]
             z_null = jnp.zeros_like(sem_features)
             s_idx = jnp.zeros((2 * B,), jnp.int32)
             sem_both = jnp.concatenate([sem_features, z_null], axis=0)
 
             def body(carry, inp):
-                x, key = carry
+                x, keys = carry
                 t, t_next = inp
-                key, k_known = jax.random.split(key)
+                ks = jax.vmap(jax.random.split)(keys)
+                keys, k_known = ks[:, 0], ks[:, 1]
                 t_b = jnp.full((B,), t, jnp.int32)
 
                 # Inpainting: re-inject the noised known tail over the overlap.
-                noise_k = jax.random.normal(k_known, known_mel.shape)
+                noise_k = jax.vmap(
+                    lambda k: jax.random.normal(k, (T, M))
+                )(k_known)
                 known_noisy, _ = schedule.q_sample(known_mel, t_b, noise_k)
                 x = jnp.where(overlap_mask, known_noisy, x)
 
@@ -135,7 +150,7 @@ class LongFormPipeline:
                 eps = schedule.predict_eps_from_v(x, t_b, v)
                 ab_next = schedule.alpha_bar[t_next]
                 x = jnp.sqrt(ab_next) * x0 + jnp.sqrt(1.0 - ab_next) * eps
-                return (x, key), None
+                return (x, keys), None
 
             (x_curr, _), _ = jax.lax.scan(
                 body, (x_curr, k_loop), (t_grid, t_next_grid)
@@ -156,9 +171,6 @@ class LongFormPipeline:
         rng=None,
     ):
         """Refine one chunk; jitted per (strength, steps, cfg_scale)."""
-        key = (strength, steps, cfg_scale)
-        if key not in self._refine_jit:
-            self._refine_jit[key] = self._build_refine(*key)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         have = known_mel is not None
         if known_mel is None:
@@ -166,9 +178,37 @@ class LongFormPipeline:
         else:
             pad = x_coarse.shape[1] - known_mel.shape[1]
             known_mel = jnp.pad(known_mel, ((0, 0), (0, pad), (0, 0)))
+        B = x_coarse.shape[0]
+        rngs = rng[None] if B == 1 else jax.random.split(rng, B)
+        return self.refine_chunk_batch(
+            x_coarse, sem_features, known_mel,
+            jnp.asarray([have] * B), rngs,
+            strength=strength, steps=steps, cfg_scale=cfg_scale,
+        )
+
+    def refine_chunk_batch(
+        self,
+        x_coarse,
+        sem_features,
+        known_mel,
+        have_known,
+        rngs,
+        *,
+        strength: float,
+        steps: int,
+        cfg_scale: float,
+    ):
+        """Batched refine over a leading stream axis: the serving scheduler's
+        entry point.  ``known_mel`` must already be padded to ``x_coarse``'s
+        frame count; ``have_known [B]`` gates inpainting per row; ``rngs``
+        carries one PRNG key per row (a single key broadcasts over B=1).
+        Rows are computed independently (see ``_build_refine``)."""
+        key = (strength, steps, cfg_scale)
+        if key not in self._refine_jit:
+            self._refine_jit[key] = self._build_refine(*key)
         return self._refine_jit[key](
             self.decoder_params, x_coarse, sem_features, known_mel,
-            jnp.asarray(have), rng,
+            have_known, rngs,
         )
 
     # -- full pipeline -------------------------------------------------------
@@ -239,83 +279,27 @@ class LongFormPipeline:
         and played while later chunks are still being generated.  Numerics
         match the offline path except the final weight renormalization is
         applied per increment.
+
+        Implemented as the single-stream driver over ``ChunkStream`` — the
+        serving-side ``LongFormScheduler`` drives many of these machines
+        through one batched refine program instead.
         """
-        cfg = self.cfg
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        wav = np.asarray(wav, np.float32).reshape(1, -1)
-        total = wav.shape[1]
-        total_frames = total // cfg.hop_length + 1
-
-        z_q_global = self.encode_global(jnp.asarray(wav))
-        num_chunks = max(
-            1, int(np.ceil((total - self.overlap_samples) / self.hop_samples))
+        stream = ChunkStream(
+            self, wav, strength=strength, steps=steps, cfg_scale=cfg_scale,
+            rng=rng,
         )
-        est_frames = total_frames + self.chunk_frames
-        acc = np.zeros((cfg.n_mels, est_frames), np.float32)
-        wsum = np.zeros((1, est_frames), np.float32)
-
-        fade = self.overlap_frames
-        window = np.ones((1, self.chunk_frames), np.float32)
-        window[0, :fade] = np.linspace(0, 1, fade)
-        window[0, -fade:] = np.linspace(1, 0, fade)
-        sem_per_chunk = self.chunk_samples // 320
-        prev_tail = None
-        emitted = 0
-
-        for i in range(num_chunks):
-            rng, k_noise, k_ref = jax.random.split(rng, 3)
-            s0 = i * self.hop_samples
-            chunk = wav[:, s0 : s0 + self.chunk_samples]
-            if chunk.shape[1] < self.chunk_samples:
-                chunk = np.pad(
-                    chunk, ((0, 0), (0, self.chunk_samples - chunk.shape[1]))
-                )
-            lat0 = s0 // 320
-            z_chunk = z_q_global[:, lat0 : lat0 + sem_per_chunk, :]
-            if z_chunk.shape[1] < sem_per_chunk:
-                z_chunk = jnp.pad(
-                    z_chunk,
-                    ((0, 0), (0, sem_per_chunk - z_chunk.shape[1]), (0, 0)),
-                )
-            x_coarse = jax.random.normal(
-                k_noise, (1, self.chunk_frames, cfg.n_mels)
-            )
+        while not stream.done:
+            x_coarse, z_chunk, known_mel, have, k_ref = stream.next_job()
+            # Route through refine_chunk (the single-stream wrapper over
+            # refine_chunk_batch) so tests/users can intercept ONE surface
+            # for all single-stream refinement; B=1 numerics are identical.
             x_ref = self.refine_chunk(
-                x_coarse, z_chunk, prev_tail,
-                strength=strength, steps=steps, cfg_scale=cfg_scale, rng=k_ref,
+                x_coarse, z_chunk, known_mel if have else None,
+                strength=strength, steps=steps, cfg_scale=cfg_scale,
+                rng=k_ref,
             )
-            prev_tail = x_ref[:, -self.overlap_frames :, :]
-
-            chunk_mel_log = self.mel_frontend(jnp.asarray(chunk))
-            _, mean, std = normalize_mel(chunk_mel_log)
-            lin = np.asarray(jnp.exp(denormalize_mel(x_ref, mean, std)))[0].T
-
-            # Boundary chunks keep full weight at the sequence edges: the
-            # fade-in/out only makes sense against a neighboring chunk, and
-            # a weight-0 edge frame would otherwise be emitted as silence
-            # (acc=0/clip(wsum=0) = 0 — a click at stream start/end).
-            win = window
-            if i == 0 or i == num_chunks - 1:
-                win = window.copy()
-                if i == 0:
-                    win[0, :fade] = 1.0
-                if i == num_chunks - 1:
-                    win[0, -fade:] = 1.0
-            f0 = i * self.hop_frames
-            acc[:, f0 : f0 + self.chunk_frames] += lin * win
-            wsum[:, f0 : f0 + self.chunk_frames] += win
-
-            # Frames before the NEXT chunk's fade-in are final now.
-            final_upto = (
-                total_frames if i == num_chunks - 1 else f0 + self.hop_frames
-            )
-            final_upto = min(final_upto, total_frames)
-            if final_upto > emitted:
-                seg = acc[:, emitted:final_upto] / np.clip(
-                    wsum[:, emitted:final_upto], 1e-5, None
-                )
-                yield seg, emitted
-                emitted = final_upto
+            for seg, offset in stream.complete(x_ref):
+                yield seg, offset
 
     def generate_streaming_audio(
         self,
@@ -351,11 +335,38 @@ class LongFormPipeline:
         the vocoder keys derive from ``fold_in(rng, 1)``, so the mel content
         is identical to ``generate(wav, rng=rng)``.
         """
-        cfg = self.cfg
-        hop = cfg.hop_length
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         wav_in = np.asarray(wav, np.float32).reshape(1, -1)
-        total = wav_in.shape[1]
+        return self.stream_audio(
+            self.generate_streaming(
+                wav_in, strength=strength, steps=steps, cfg_scale=cfg_scale,
+                rng=rng,
+            ),
+            total=wav_in.shape[1],
+            rng=rng,
+            context_seconds=context_seconds,
+            crossfade_samples=crossfade_samples,
+            griffin_lim_iters=griffin_lim_iters,
+        )
+
+    def stream_audio(
+        self,
+        mel_iter,
+        total: int,
+        rng,
+        context_seconds: float = 0.5,
+        crossfade_samples: int = 320,
+        griffin_lim_iters: int = 50,
+    ):
+        """Wrap a finalized-linear-mel increment iterator into waveform
+        increments — the vocoder half of ``generate_streaming_audio``,
+        reusable over ANY source of ``(mel_seg, frame_offset)`` increments
+        (e.g. a scheduler-batched stream in serving.py).  ``total`` caps the
+        emitted samples at the source waveform length; vocoder keys derive
+        from ``fold_in(rng, 1)`` exactly as ``generate_streaming_audio``.
+        """
+        cfg = self.cfg
+        hop = cfg.hop_length
         k_gl = jax.random.fold_in(rng, 1)
         ctx_frames = max(
             int(context_seconds * cfg.sample_rate) // hop,
@@ -382,10 +393,7 @@ class LongFormPipeline:
             )
             return w0 * hop, np.asarray(wav_win)
 
-        it = self.generate_streaming(
-            wav_in, strength=strength, steps=steps, cfg_scale=cfg_scale,
-            rng=rng,
-        )
+        it = iter(mel_iter)
         cur = next(it, None)
         while cur is not None:
             nxt = next(it, None)
@@ -449,3 +457,135 @@ class LongFormPipeline:
             n_iter=n_iter,
         )
         return np.asarray(wav[0])
+
+
+class ChunkStream:
+    """Host-side state machine for ONE long-form stream.
+
+    Splits ``generate_streaming``'s chunk loop into a prepare/complete pair
+    so a scheduler can interleave many streams through the pipeline's
+    batched refine program (continuous batching, serving.py::
+    LongFormScheduler):
+
+    - ``next_job()`` -> ``(x_coarse [1,T,M], z_chunk [1,S,D],
+      known_mel [1,T,M], have_known, rng_key)``: the device inputs for the
+      stream's next chunk.  All randomness derives from this stream's own
+      PRNG chain, so the refined chunk is independent of any batch it rides
+      in.
+    - ``complete(x_ref [1,T,M])`` folds the refined chunk into the
+      crossfade accumulator and returns the newly finalized
+      ``(linear_mel_segment, frame_offset)`` increments (possibly none).
+
+    The chunk geometry, crossfade windows, per-chunk mel statistics, and
+    boundary-weight handling are exactly ``generate_streaming``'s (reference
+    inference_pipeline.py:296-374 semantics).
+    """
+
+    def __init__(
+        self,
+        pipe: LongFormPipeline,
+        wav: np.ndarray,
+        strength: float = 0.6,
+        steps: int = 50,
+        cfg_scale: float = 2.0,
+        rng=None,
+    ):
+        cfg = pipe.cfg
+        self.pipe = pipe
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.wav = np.asarray(wav, np.float32).reshape(1, -1)
+        self.total = self.wav.shape[1]
+        self.total_frames = self.total // cfg.hop_length + 1
+        self.z_q_global = pipe.encode_global(jnp.asarray(self.wav))
+        self.num_chunks = max(
+            1,
+            int(np.ceil((self.total - pipe.overlap_samples) / pipe.hop_samples)),
+        )
+        est_frames = self.total_frames + pipe.chunk_frames
+        self.acc = np.zeros((cfg.n_mels, est_frames), np.float32)
+        self.wsum = np.zeros((1, est_frames), np.float32)
+
+        fade = pipe.overlap_frames
+        self.window = np.ones((1, pipe.chunk_frames), np.float32)
+        self.window[0, :fade] = np.linspace(0, 1, fade)
+        self.window[0, -fade:] = np.linspace(1, 0, fade)
+        self.sem_per_chunk = pipe.chunk_samples // 320
+        self.prev_tail = None
+        self.emitted = 0
+        self.i = 0
+        self._chunk_wav = None
+
+    @property
+    def done(self) -> bool:
+        return self.i >= self.num_chunks
+
+    def next_job(self):
+        """Prepare chunk ``i``'s device inputs (does not advance ``i``)."""
+        assert not self.done, "stream exhausted"
+        pipe, cfg = self.pipe, self.pipe.cfg
+        self.rng, k_noise, k_ref = jax.random.split(self.rng, 3)
+        s0 = self.i * pipe.hop_samples
+        chunk = self.wav[:, s0 : s0 + pipe.chunk_samples]
+        if chunk.shape[1] < pipe.chunk_samples:
+            chunk = np.pad(
+                chunk, ((0, 0), (0, pipe.chunk_samples - chunk.shape[1]))
+            )
+        self._chunk_wav = chunk
+        lat0 = s0 // 320
+        z_chunk = self.z_q_global[:, lat0 : lat0 + self.sem_per_chunk, :]
+        if z_chunk.shape[1] < self.sem_per_chunk:
+            z_chunk = jnp.pad(
+                z_chunk,
+                ((0, 0), (0, self.sem_per_chunk - z_chunk.shape[1]), (0, 0)),
+            )
+        x_coarse = jax.random.normal(
+            k_noise, (1, pipe.chunk_frames, cfg.n_mels)
+        )
+        have = self.prev_tail is not None
+        if have:
+            pad = pipe.chunk_frames - self.prev_tail.shape[1]
+            known_mel = jnp.pad(self.prev_tail, ((0, 0), (0, pad), (0, 0)))
+        else:
+            known_mel = jnp.zeros_like(x_coarse)
+        return x_coarse, z_chunk, known_mel, have, k_ref
+
+    def complete(self, x_ref):
+        """Fold the refined chunk in; return newly finalized increments."""
+        pipe = self.pipe
+        i, num_chunks = self.i, self.num_chunks
+        self.prev_tail = x_ref[:, -pipe.overlap_frames :, :]
+
+        chunk_mel_log = pipe.mel_frontend(jnp.asarray(self._chunk_wav))
+        _, mean, std = normalize_mel(chunk_mel_log)
+        lin = np.asarray(jnp.exp(denormalize_mel(x_ref, mean, std)))[0].T
+
+        # Boundary chunks keep full weight at the sequence edges: the
+        # fade-in/out only makes sense against a neighboring chunk, and
+        # a weight-0 edge frame would otherwise be emitted as silence
+        # (acc=0/clip(wsum=0) = 0 — a click at stream start/end).
+        fade = pipe.overlap_frames
+        win = self.window
+        if i == 0 or i == num_chunks - 1:
+            win = self.window.copy()
+            if i == 0:
+                win[0, :fade] = 1.0
+            if i == num_chunks - 1:
+                win[0, -fade:] = 1.0
+        f0 = i * pipe.hop_frames
+        self.acc[:, f0 : f0 + pipe.chunk_frames] += lin * win
+        self.wsum[:, f0 : f0 + pipe.chunk_frames] += win
+        self.i += 1
+
+        # Frames before the NEXT chunk's fade-in are final now.
+        final_upto = (
+            self.total_frames if i == num_chunks - 1 else f0 + pipe.hop_frames
+        )
+        final_upto = min(final_upto, self.total_frames)
+        out = []
+        if final_upto > self.emitted:
+            seg = self.acc[:, self.emitted : final_upto] / np.clip(
+                self.wsum[:, self.emitted : final_upto], 1e-5, None
+            )
+            out.append((seg, self.emitted))
+            self.emitted = final_upto
+        return out

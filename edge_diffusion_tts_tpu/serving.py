@@ -245,35 +245,290 @@ class MicroBatcher:
 # -- streaming long-form ----------------------------------------------------
 
 
-def make_longform_fn(pipe) -> Callable:
-    """Adapt a ``LongFormPipeline`` to the server's long-form contract.
+@dataclass
+class _LFStream:
+    """One live long-form stream inside the scheduler."""
+
+    chunk: object  # pipeline.ChunkStream
+    group: tuple  # (steps, strength, cfg_scale) -> refine program signature
+    out: queue.Queue = field(default_factory=lambda: queue.Queue(maxsize=256))
+    cancelled: bool = False
+    error: Optional[Exception] = None
+
+    def emit(self, item) -> None:
+        """Hand an increment to the consumer WITHOUT blocking the scheduler:
+        a consumer that stopped draining (but kept the stream open) fills
+        its queue and gets cancelled instead of stalling every other
+        stream's tick."""
+        try:
+            self.out.put_nowait(item)
+        except queue.Full:
+            self.cancelled = True
+            self.error = RuntimeError(
+                "long-form consumer stopped draining increments"
+            )
+
+    def finish(self, err: Optional[Exception]) -> None:
+        if err is not None:
+            self.error = err
+        try:
+            self.out.put_nowait(None)
+        except queue.Full:  # consumer gone; drain() checks error anyway
+            self.cancelled = True
+
+
+class LongFormScheduler:
+    """Continuous batching for concurrent long-form streams.
+
+    A long-form request arrives as a whole utterance but is generated chunk
+    by chunk (``pipeline.ChunkStream``).  Rather than serializing whole
+    streams on the device, the scheduler interleaves them at CHUNK
+    granularity: each tick gathers the next chunk job from up to
+    ``max_streams`` live streams sharing a refine signature
+    (steps, strength, cfg_scale), pads the batch to a power-of-two row
+    count (one compiled program per signature x row count), and runs ONE
+    batched refine.  Streams join and leave between ticks — a new request
+    starts denoising at the next tick instead of waiting behind running
+    streams (continuous batching), and N concurrent streams cost ~one
+    stream's wall-clock per chunk instead of N.
+
+    Rows of the batched refine are computed independently — per-row PRNG
+    keys and per-row inpaint flags (``pipeline._build_refine``) — so a
+    stream's mel is a function of its own seed alone, regardless of batch
+    composition: batched output == solo output
+    (tests/test_serving.py::test_longform_scheduler_matches_solo).
+    """
+
+    def __init__(self, pipe, max_streams: int = 4):
+        self.pipe = pipe
+        self.max_streams = int(max_streams)
+        self._inbox: "queue.Queue[Optional[_LFStream]]" = queue.Queue()
+        self._active: list = []
+        self._closed = False
+        self.batches_run = 0
+        self.chunks_run = 0  # live rows summed over batches
+        self.rows_padded = 0  # total rows incl. padding (occupancy denom)
+        self.device_ms_total = 0.0
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def stats(self) -> dict:
+        b = max(self.batches_run, 1)
+        return {
+            "streams_active": len(self._active),
+            "batches_run": self.batches_run,
+            "chunks_run": self.chunks_run,
+            "mean_row_occupancy": round(
+                self.chunks_run / max(self.rows_padded, 1), 3
+            ),
+            "mean_batch_ms": round(self.device_ms_total / b, 3),
+        }
+
+    # -- client side --------------------------------------------------------
+
+    def submit(
+        self,
+        wav: np.ndarray,
+        *,
+        steps: int = 50,
+        strength: float = 0.6,
+        cfg_scale: float = 2.0,
+        seed: int = 0,
+    ):
+        """Enqueue one stream; returns an iterator of (mel_seg, frame_offset).
+
+        The semantic encode runs here, in the caller's thread, so it
+        overlaps the worker's refine ticks.  Abandoning the iterator
+        (close/GC/transport error) cancels the stream: its remaining chunks
+        are never scheduled.
+        """
+        import jax
+
+        from .pipeline import ChunkStream
+
+        if self._closed:
+            raise RuntimeError("LongFormScheduler is closed")
+        chunk = ChunkStream(
+            self.pipe, wav, strength=float(strength), steps=int(steps),
+            cfg_scale=float(cfg_scale), rng=jax.random.PRNGKey(int(seed)),
+        )
+        s = _LFStream(
+            chunk, group=(int(steps), float(strength), float(cfg_scale))
+        )
+        self._inbox.put(s)
+
+        def drain():
+            try:
+                while True:
+                    try:
+                        item = s.out.get(timeout=1.0)
+                    except queue.Empty:
+                        # A stream cancelled while its queue was full never
+                        # gets a sentinel enqueued — surface the error here
+                        # instead of blocking forever.
+                        if s.cancelled:
+                            raise s.error or RuntimeError("stream cancelled")
+                        continue
+                    if item is None:
+                        if s.error is not None:
+                            raise s.error
+                        return
+                    yield item
+            finally:
+                s.cancelled = True  # stop scheduling if abandoned mid-stream
+
+        return drain()
+
+    def close(self):
+        self._closed = True
+        self._inbox.put(None)  # wake the worker
+        self._worker.join(timeout=10.0)
+        err = RuntimeError("LongFormScheduler closed")
+        for s in self._active:
+            s.finish(err)
+        self._active = []
+        while True:
+            try:
+                s = self._inbox.get_nowait()
+            except queue.Empty:
+                break
+            if s is not None:
+                s.finish(err)
+
+    # -- worker side --------------------------------------------------------
+
+    def _absorb(self, block: bool):
+        if block:
+            try:
+                s = self._inbox.get(timeout=0.05)
+            except queue.Empty:
+                return
+            if s is not None:
+                self._active.append(s)
+        while True:
+            try:
+                s = self._inbox.get_nowait()
+            except queue.Empty:
+                return
+            if s is not None:
+                self._active.append(s)
+
+    def _tick(self):
+        self._absorb(block=not self._active)
+        self._active = [s for s in self._active if not s.cancelled]
+        if not self._active:
+            return
+        group = self._active[0].group
+        batch = [s for s in self._active if s.group == group]
+        batch = batch[: self.max_streams]
+        try:
+            self._run_batch(batch, group)
+        except Exception as e:  # fail the batch's streams, keep serving
+            for s in batch:
+                s.finish(e)
+                s.cancelled = True
+        finished = {
+            id(s) for s in batch if s.chunk.done or s.cancelled
+        }
+        for s in batch:
+            if s.chunk.done and not s.cancelled:
+                s.finish(None)
+        served = {id(s) for s in batch}
+        remaining = [s for s in self._active if id(s) not in finished]
+        # Rotate served streams to the back so other signature groups
+        # (and late joiners) get the next tick — round-robin fairness.
+        self._active = [s for s in remaining if id(s) not in served] + [
+            s for s in remaining if id(s) in served
+        ]
+
+    def _run_batch(self, batch: list, group: tuple):
+        import jax.numpy as jnp
+
+        steps, strength, cfg_scale = group
+        jobs = [s.chunk.next_job() for s in batch]
+        n = len(jobs)
+        B = 1
+        while B < n:
+            B *= 2
+        B = min(B, self.max_streams)
+        pad = B - n
+        x = jnp.concatenate(
+            [j[0] for j in jobs] + [jnp.zeros_like(jobs[0][0])] * pad, axis=0
+        )
+        z = jnp.concatenate(
+            [j[1] for j in jobs] + [jnp.zeros_like(jobs[0][1])] * pad, axis=0
+        )
+        kn = jnp.concatenate(
+            [j[2] for j in jobs] + [jnp.zeros_like(jobs[0][2])] * pad, axis=0
+        )
+        hv = jnp.asarray([j[3] for j in jobs] + [False] * pad)
+        # Padding rows reuse row 0's key: their output is discarded, they
+        # only exist to hold the program shape.
+        rngs = jnp.stack([j[4] for j in jobs] + [jobs[0][4]] * pad)
+        t0 = time.monotonic()
+        x_ref = np.asarray(
+            self.pipe.refine_chunk_batch(
+                x, z, kn, hv, rngs,
+                strength=strength, steps=steps, cfg_scale=cfg_scale,
+            )
+        )
+        self.device_ms_total += (time.monotonic() - t0) * 1e3
+        self.batches_run += 1
+        self.chunks_run += n
+        self.rows_padded += B
+        for i, s in enumerate(batch):
+            for seg, off in s.chunk.complete(x_ref[i : i + 1]):
+                s.emit((seg, off))
+
+    def _loop(self):
+        while not self._closed:
+            try:
+                self._tick()
+            except Exception:
+                # _tick already routed batch errors to their streams; an
+                # error HERE is a scheduler bug — don't let it kill the
+                # worker and strand every future stream.
+                time.sleep(0.01)
+
+
+def make_longform_fn(pipe, max_streams: int = 4) -> Callable:
+    """Adapt a ``LongFormPipeline`` to the server's long-form contract,
+    continuously batching concurrent streams via ``LongFormScheduler``.
 
     Returns ``fn(wav: np.ndarray [T], opts: dict) -> iterator of
     (increment, offset)``: mel increments (``[n_mels, F]`` linear mel,
     frame offsets) by default, waveform increments (1-D f32, sample
     offsets) when ``opts["audio"]`` is set.  ``opts["seed"]`` pins the
-    stream's PRNG so a request is reproducible — unlike the micro-batched
-    path, a long-form stream never shares a device program with other
-    requests, so determinism is well-defined per request.
+    stream's PRNG; scheduler rows are batch-composition-independent, so the
+    result is reproducible AND identical to an unbatched run with the same
+    seed.  The scheduler is exposed as ``fn.scheduler`` (stats / close).
     """
+    import jax
+
+    sched = LongFormScheduler(pipe, max_streams=max_streams)
 
     def fn(wav: np.ndarray, opts: dict):
-        import jax
-
-        kw = dict(
+        seed = int(opts.get("seed", 0))
+        mel_iter = sched.submit(
+            wav,
             steps=int(opts.get("steps", 50)),
             strength=float(opts.get("strength", 0.6)),
             cfg_scale=float(opts.get("cfg_scale", 2.0)),
-            rng=jax.random.PRNGKey(int(opts.get("seed", 0))),
+            seed=seed,
         )
         if opts.get("audio"):
-            return pipe.generate_streaming_audio(
-                wav,
+            # The vocoder half runs in the CALLER's thread (per stream),
+            # overlapping other streams' refine ticks; mel content and GL
+            # keys match generate_streaming_audio's RNG contract exactly.
+            return pipe.stream_audio(
+                mel_iter,
+                total=int(np.asarray(wav).size),
+                rng=jax.random.PRNGKey(seed),
                 griffin_lim_iters=int(opts.get("griffin_lim_iters", 50)),
-                **kw,
             )
-        return pipe.generate_streaming(wav, **kw)
+        return mel_iter
 
+    fn.scheduler = sched
     return fn
 
 
@@ -301,18 +556,18 @@ class _Handler(socketserver.StreamRequestHandler):
         if wav.size == 0:
             raise ValueError("longform request carries no audio")
         n = 0
-        # One long-form stream owns the device at a time: increments are
-        # sequential by construction, and interleaving two streams would
-        # only thrash compiled-program state without adding throughput.
-        with self.server.longform_lock:
-            for seg, offset in fn(wav, req):
-                seg = np.ascontiguousarray(np.asarray(seg, "<f4"))
-                self._send({
-                    "seg_b64": base64.b64encode(seg.tobytes()).decode("ascii"),
-                    "shape": list(seg.shape),
-                    "offset": int(offset),
-                })
-                n += 1
+        # Concurrent long-form streams batch at chunk granularity through
+        # the LongFormScheduler (one batched refine program serves them
+        # all), so no device lock is needed — each handler thread just
+        # drains its own stream's increments as they finalize.
+        for seg, offset in fn(wav, req):
+            seg = np.ascontiguousarray(np.asarray(seg, "<f4"))
+            self._send({
+                "seg_b64": base64.b64encode(seg.tobytes()).decode("ascii"),
+                "shape": list(seg.shape),
+                "offset": int(offset),
+            })
+            n += 1
         self._send({"done": True, "segments": n})
 
     def handle(self):
@@ -324,6 +579,9 @@ class _Handler(socketserver.StreamRequestHandler):
                 req = json.loads(line)
                 if req.get("stats"):
                     resp = {"stats": self.server.batcher.stats()}
+                    sched = getattr(self.server.longform_fn, "scheduler", None)
+                    if sched is not None:
+                        resp["longform"] = sched.stats()
                     self.wfile.write((json.dumps(resp) + "\n").encode())
                     self.wfile.flush()
                     continue
@@ -379,6 +637,9 @@ class TTSServer(socketserver.ThreadingTCPServer):
     ``[n_mels, F]`` at frame offsets, or 1-D waveform at sample offsets
     with ``audio``) — terminated by ``{"done": true, "segments": k}``.
     A mid-stream failure terminates with ``{"error": ...}`` instead.
+    Concurrent long-form requests are continuously batched at chunk
+    granularity (``LongFormScheduler``); results are seed-reproducible
+    regardless of what shared their batch.
     """
 
     allow_reuse_address = True
@@ -388,7 +649,12 @@ class TTSServer(socketserver.ThreadingTCPServer):
         super().__init__(addr, _Handler)
         self.batcher = batcher
         self.longform_fn = longform_fn
-        self.longform_lock = threading.Lock()
+
+    def shutdown(self):
+        super().shutdown()
+        sched = getattr(self.longform_fn, "scheduler", None)
+        if sched is not None:
+            sched.close()
 
 
 def serve_tcp(
@@ -418,6 +684,7 @@ def run_server(
     verbose: bool = True,
     seed: int = 0,
     longform: bool = False,
+    longform_streams: int = 4,
     chunk_seconds: float = 2.0,
     overlap_seconds: float = 0.5,
 ):
@@ -514,8 +781,9 @@ def run_server(
     if longform:
         # Voice-regeneration streaming: wav -> frozen HuBERT features ->
         # chunked inpaint/crossfade decode, increments streamed as they
-        # finalize (pipeline.py).  Runs per-request (never batched), so it
-        # gets its own pipeline alongside the micro-batched token path.
+        # finalize (pipeline.py).  Up to `longform_streams` concurrent
+        # requests are continuously batched at chunk granularity
+        # (LongFormScheduler) alongside the micro-batched token path.
         from .models import SemanticEncoder
         from .pipeline import LongFormPipeline
         from .training.checkpoint import (
@@ -536,7 +804,7 @@ def run_server(
             chunk_seconds=chunk_seconds,
             overlap_seconds=overlap_seconds,
         )
-        longform_fn = make_longform_fn(pipe)
+        longform_fn = make_longform_fn(pipe, max_streams=longform_streams)
 
     batcher = MicroBatcher(
         generate_fn, buckets=buckets, max_batch=max_batch,

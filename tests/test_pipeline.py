@@ -62,6 +62,43 @@ def test_refine_chunk_keeps_known_overlap(tiny_pipeline):
     )
 
 
+def test_refine_batch_rows_match_single(tiny_pipeline):
+    # The serving scheduler's contract (serving.py::LongFormScheduler): rows
+    # of the batched refine are pure functions of their own inputs — per-row
+    # PRNG keys, per-row inpaint flags — so a chunk refined in a shared
+    # batch (here with a padding row and mixed flags) equals the same chunk
+    # refined alone.
+    cfg, pipe = tiny_pipeline
+    T, M = pipe.chunk_frames, cfg.n_mels
+    S = pipe.chunk_samples // 320
+    kw = dict(strength=0.3, steps=3, cfg_scale=2.0)
+
+    rows = []
+    for i in range(3):
+        kx, kz, kk, kr = jax.random.split(jax.random.PRNGKey(10 + i), 4)
+        rows.append((
+            jax.random.normal(kx, (1, T, M)),
+            jax.random.normal(kz, (1, S, cfg.semantic_dim)),
+            jax.random.normal(kk, (1, T, M)),
+            i % 2 == 0,  # mixed inpaint flags within one batch
+            kr,
+        ))
+    x = jnp.concatenate([r[0] for r in rows] + [jnp.zeros_like(rows[0][0])])
+    z = jnp.concatenate([r[1] for r in rows] + [jnp.zeros_like(rows[0][1])])
+    kn = jnp.concatenate([r[2] for r in rows] + [jnp.zeros_like(rows[0][2])])
+    hv = jnp.asarray([r[3] for r in rows] + [False])
+    ks = jnp.stack([r[4] for r in rows] + [rows[0][4]])
+    batched = np.asarray(pipe.refine_chunk_batch(x, z, kn, hv, ks, **kw))
+
+    for i, (xi, zi, kni, hi, ki) in enumerate(rows):
+        solo = np.asarray(pipe.refine_chunk_batch(
+            xi, zi, kni, jnp.asarray([hi]), ki[None], **kw
+        ))
+        np.testing.assert_allclose(
+            batched[i], solo[0], rtol=1e-5, atol=1e-6
+        )
+
+
 def test_generate_streaming_matches_offline(tiny_pipeline):
     """Streaming increments concatenate to exactly the offline mel."""
     cfg, pipe = tiny_pipeline

@@ -465,6 +465,109 @@ def test_tcp_longform_stream_matches_offline(longform_server):
     assert mel.shape == (4, 4)
 
 
+def test_longform_scheduler_matches_solo(longform_server):
+    # Continuous batching preserves the per-request PRNG contract: streams
+    # batched together produce exactly what each produces alone under its
+    # own seed — and batching genuinely happened (fewer device batches than
+    # chunks).  A slowed refine pins the interleaving: stream 1's first
+    # chunk runs while 2 and 3 queue, so later ticks carry multiple streams
+    # at DIFFERENT chunk indices (the continuous-batching case).
+    import time as _time
+
+    from edge_diffusion_tts_tpu.serving import LongFormScheduler
+
+    cfg, pipe, _ = longform_server
+    kw = dict(steps=2, strength=0.3, cfg_scale=1.0)
+    secs = 1.0
+    t = np.arange(int(secs * cfg.sample_rate)) / cfg.sample_rate
+    wavs = {
+        seed: (0.1 * np.sin(2 * np.pi * (200 + 50 * seed) * t)).astype(
+            np.float32
+        )
+        for seed in (1, 2, 3)
+    }
+
+    real_refine = pipe.refine_chunk_batch
+
+    def slow_refine(*a, **k):
+        _time.sleep(0.15)
+        return real_refine(*a, **k)
+
+    pipe.refine_chunk_batch = slow_refine
+    sched = LongFormScheduler(pipe, max_streams=4)
+    try:
+        iters = {
+            seed: sched.submit(wavs[seed], seed=seed, **kw)
+            for seed in wavs
+        }
+        # Queues buffer every increment, so sequential draining is fine.
+        results = {
+            seed: np.concatenate([s for s, _ in it], axis=1)
+            for seed, it in iters.items()
+        }
+        assert sched.chunks_run > sched.batches_run  # multi-row batches ran
+        assert sched.stats()["mean_row_occupancy"] > 0.4
+    finally:
+        pipe.refine_chunk_batch = real_refine
+        sched.close()
+
+    for seed, wav in wavs.items():
+        solo = np.concatenate(
+            [
+                s
+                for s, _ in pipe.generate_streaming(
+                    wav, rng=jax.random.PRNGKey(seed), **kw
+                )
+            ],
+            axis=1,
+        )
+        np.testing.assert_allclose(
+            results[seed], solo, rtol=1e-5, atol=1e-6
+        )
+
+
+def test_tcp_longform_concurrent_streams(longform_server):
+    # Two long-form requests on simultaneous TCP connections each match
+    # their own offline generation — the handler threads share the
+    # scheduler's batched refine instead of serializing on a device lock.
+    from edge_diffusion_tts_tpu.serving import request_longform
+
+    cfg, pipe, server = longform_server
+    host, port = server.server_address
+    kw = dict(steps=2, strength=0.3, cfg_scale=1.0)
+    t = np.arange(int(0.9 * cfg.sample_rate)) / cfg.sample_rate
+    wavs = {
+        seed: (0.1 * np.sin(2 * np.pi * (300 + 80 * seed) * t)).astype(
+            np.float32
+        )
+        for seed in (4, 5)
+    }
+    results = {}
+
+    def run(seed):
+        segs = list(
+            request_longform(wavs[seed], host=host, port=port, seed=seed, **kw)
+        )
+        results[seed] = np.concatenate([s for s, _ in segs], axis=1)
+
+    threads = [
+        threading.Thread(target=run, args=(seed,)) for seed in wavs
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert set(results) == set(wavs)
+
+    for seed, wav in wavs.items():
+        offline, _ = pipe.generate(
+            wav, vocode=False, rng=jax.random.PRNGKey(seed), **kw
+        )
+        np.testing.assert_allclose(
+            results[seed], offline, rtol=1e-5, atol=1e-6
+        )
+
+
 def test_tcp_longform_audio_stream(longform_server):
     # audio=True streams playable 1-D waveform increments with contiguous
     # sample offsets.
