@@ -28,7 +28,7 @@ from .config import CFG
 from .ops.mel import MelFrontend, inverse_mel_scale
 from .ops.vocoder import griffin_lim
 from .schedule import DiffusionSchedule
-from .utils.audio import denormalize_mel, normalize_mel
+from .utils.audio import normalize_mel
 
 
 class LongFormPipeline:
@@ -75,7 +75,13 @@ class LongFormPipeline:
 
     # -- jitted chunk refine -------------------------------------------------
 
-    def _build_refine(self, strength: float, steps: int, cfg_scale: float):
+    def _build_refine(
+        self,
+        strength: float,
+        steps: int,
+        cfg_scale: float,
+        from_keys: bool = False,
+    ):
         """One XLA program: noise -> steps x (CFG decode + inpaint DDIM) -> x0.
 
         Batched over a leading stream axis B, and every row is a pure
@@ -86,6 +92,13 @@ class LongFormPipeline:
         ``LongFormScheduler`` continuously batch concurrent long-form
         streams while keeping each stream reproducible from its seed alone
         (tests/test_pipeline.py::test_refine_batch_rows_match_single).
+
+        ``from_keys=True`` builds the dispatch-minimal serving variant: the
+        coarse input is pure noise drawn INSIDE the program from per-row
+        ``k_noise`` (bit-identical to ``jax.random.normal(k_noise, (1,T,M))``
+        outside), so a chunk tick costs ONE device program — through a
+        tunneled chip every extra dispatch is ~30 ms, which is what made
+        per-chunk host-side prep dominate the batched refine itself.
 
         Reference semantics: inpaint_teacher_refine
         (inference_pipeline.py:145-196).
@@ -101,8 +114,15 @@ class LongFormPipeline:
         )
 
         @jax.jit
-        def refine(params, x_coarse, sem_features, known_mel, have_known, rngs):
-            B, T, M = x_coarse.shape
+        def refine(params, x_in, sem_features, known_mel, have_known, rngs):
+            B, T, M = known_mel.shape
+            if from_keys:
+                # x_in carries per-row NOISE KEYS [B] instead of samples.
+                x_coarse = jax.vmap(
+                    lambda k: jax.random.normal(k, (T, M), known_mel.dtype)
+                )(x_in)
+            else:
+                x_coarse = x_in
             keys = jax.vmap(jax.random.split)(rngs)  # [B, 2] keys
             k_init, k_loop = keys[:, 0], keys[:, 1]
             t0 = jnp.full((B,), t_start, jnp.int32)
@@ -203,13 +223,77 @@ class LongFormPipeline:
         frame count; ``have_known [B]`` gates inpainting per row; ``rngs``
         carries one PRNG key per row (a single key broadcasts over B=1).
         Rows are computed independently (see ``_build_refine``)."""
-        key = (strength, steps, cfg_scale)
+        key = (strength, steps, cfg_scale, "x")
         if key not in self._refine_jit:
-            self._refine_jit[key] = self._build_refine(*key)
+            self._refine_jit[key] = self._build_refine(
+                strength, steps, cfg_scale, from_keys=False
+            )
         return self._refine_jit[key](
             self.decoder_params, x_coarse, sem_features, known_mel,
             have_known, rngs,
         )
+
+    def refine_chunk_batch_keys(
+        self,
+        k_noise,
+        sem_features,
+        known_mel,
+        have_known,
+        rngs,
+        *,
+        strength: float,
+        steps: int,
+        cfg_scale: float,
+    ):
+        """``refine_chunk_batch`` with the coarse noise drawn on-device from
+        per-row ``k_noise [B]`` keys — ONE dispatch per chunk tick, no H2D
+        of the noise.  Row i equals ``refine_chunk_batch`` with
+        ``x_coarse[i] = jax.random.normal(k_noise[i], (1, T, M))``.  This is
+        the entry point ``ChunkStream``/``LongFormScheduler`` use; inputs
+        may be host numpy (they ride the call's H2D)."""
+        key = (strength, steps, cfg_scale, "k")
+        if key not in self._refine_jit:
+            self._refine_jit[key] = self._build_refine(
+                strength, steps, cfg_scale, from_keys=True
+            )
+        return self._refine_jit[key](
+            self.decoder_params, k_noise, sem_features, known_mel,
+            have_known, rngs,
+        )
+
+    def chunk_key_chain(self, rng, n: int):
+        """The per-chunk PRNG chain ``rng -> n x (k_noise, k_ref)`` as ONE
+        device program, fetched to host once (bit-identical to n sequential
+        ``rng, k_noise, k_ref = jax.random.split(rng, 3)`` calls, each of
+        which would otherwise be its own ~30 ms tunneled dispatch)."""
+        if not hasattr(self, "_key_chain_jit"):
+            @jax.jit
+            def chain(rng, dummy):
+                def body(r, _):
+                    r, kn, kr = jax.random.split(r, 3)
+                    return r, (kn, kr)
+                _, (kns, krs) = jax.lax.scan(body, rng, dummy)
+                return kns, krs
+
+            self._key_chain_jit = chain
+        kns, krs = self._key_chain_jit(rng, jnp.zeros((n,), jnp.int8))
+        return np.asarray(kns), np.asarray(krs)
+
+    def chunk_mel_stats(self, chunk_wavs: np.ndarray):
+        """Per-chunk denormalization statistics for ALL chunks in ONE
+        program: ``[N, chunk_samples]`` -> (mean, std) each ``[N, 1, M]``
+        on host.  Row-identical to ``normalize_mel(mel_frontend(chunk))``
+        per chunk (the reference's per-chunk GT stats,
+        inference_pipeline.py:354-356)."""
+        if not hasattr(self, "_stats_jit"):
+            @jax.jit
+            def stats(wavs):
+                _, mean, std = normalize_mel(self.mel_frontend(wavs))
+                return mean, std
+
+            self._stats_jit = stats
+        mean, std = self._stats_jit(jnp.asarray(chunk_wavs))
+        return np.asarray(mean), np.asarray(std)
 
     # -- full pipeline -------------------------------------------------------
 
@@ -289,16 +373,16 @@ class LongFormPipeline:
             rng=rng,
         )
         while not stream.done:
-            x_coarse, z_chunk, known_mel, have, k_ref = stream.next_job()
-            # Route through refine_chunk (the single-stream wrapper over
-            # refine_chunk_batch) so tests/users can intercept ONE surface
-            # for all single-stream refinement; B=1 numerics are identical.
-            x_ref = self.refine_chunk(
-                x_coarse, z_chunk, known_mel if have else None,
+            k_noise, z_chunk, known_mel, have, k_ref = stream.next_job()
+            # The same dispatch-minimal surface the serving scheduler uses
+            # (ONE device program per chunk) so solo and batched streams
+            # run literally the same code path; B=1.
+            x_ref = self.refine_chunk_batch_keys(
+                k_noise[None], z_chunk, known_mel, np.asarray([have]),
+                k_ref[None],
                 strength=strength, steps=steps, cfg_scale=cfg_scale,
-                rng=k_ref,
             )
-            for seg, offset in stream.complete(x_ref):
+            for seg, offset in stream.complete(np.asarray(x_ref)):
                 yield seg, offset
 
     def generate_streaming_audio(
@@ -467,14 +551,23 @@ class ChunkStream:
     batched refine program (continuous batching, serving.py::
     LongFormScheduler):
 
-    - ``next_job()`` -> ``(x_coarse [1,T,M], z_chunk [1,S,D],
-      known_mel [1,T,M], have_known, rng_key)``: the device inputs for the
-      stream's next chunk.  All randomness derives from this stream's own
-      PRNG chain, so the refined chunk is independent of any batch it rides
-      in.
-    - ``complete(x_ref [1,T,M])`` folds the refined chunk into the
+    - ``next_job()`` -> ``(k_noise [2], z_chunk [1,S,D] np,
+      known_mel [1,T,M] np, have_known, k_ref [2])``: the inputs for the
+      stream's next chunk, for ``refine_chunk_batch_keys``.  All randomness
+      derives from this stream's own PRNG chain, so the refined chunk is
+      independent of any batch it rides in.
+    - ``complete(x_ref [1,T,M] np)`` folds the refined chunk into the
       crossfade accumulator and returns the newly finalized
       ``(linear_mel_segment, frame_offset)`` increments (possibly none).
+
+    Dispatch economics (the TPU re-design): construction runs THREE device
+    programs total — global semantic encode, all chunks' denorm stats in
+    one batch, and the whole per-chunk PRNG chain — and fetches their
+    results to host, so ``next_job``/``complete`` are pure numpy and the
+    only device program per chunk is the (batched) refine itself.  Through
+    a tunneled chip every dispatch costs ~30 ms; the previous per-chunk
+    prep (noise draw, pads, per-chunk mel stats, denorm) was ~10 dispatches
+    per stream per tick and dominated the batched refine it fed.
 
     The chunk geometry, crossfade windows, per-chunk mel statistics, and
     boundary-weight handling are exactly ``generate_streaming``'s (reference
@@ -492,11 +585,10 @@ class ChunkStream:
     ):
         cfg = pipe.cfg
         self.pipe = pipe
-        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.wav = np.asarray(wav, np.float32).reshape(1, -1)
         self.total = self.wav.shape[1]
         self.total_frames = self.total // cfg.hop_length + 1
-        self.z_q_global = pipe.encode_global(jnp.asarray(self.wav))
         self.num_chunks = max(
             1,
             int(np.ceil((self.total - pipe.overlap_samples) / pipe.hop_samples)),
@@ -513,51 +605,60 @@ class ChunkStream:
         self.prev_tail = None
         self.emitted = 0
         self.i = 0
-        self._chunk_wav = None
+
+        # The stream's ENTIRE device-prep, fetched to host up front (three
+        # programs; see class docstring).  Everything after this is numpy
+        # plus one refine program per chunk.
+        self.z_q_global = np.asarray(pipe.encode_global(jnp.asarray(self.wav)))
+        self._k_noise, self._k_ref = pipe.chunk_key_chain(rng, self.num_chunks)
+        chunks = np.zeros((self.num_chunks, pipe.chunk_samples), np.float32)
+        for i in range(self.num_chunks):
+            s0 = i * pipe.hop_samples
+            c = self.wav[0, s0 : s0 + pipe.chunk_samples]
+            chunks[i, : c.shape[0]] = c
+        self._mean, self._std = pipe.chunk_mel_stats(chunks)
 
     @property
     def done(self) -> bool:
         return self.i >= self.num_chunks
 
     def next_job(self):
-        """Prepare chunk ``i``'s device inputs (does not advance ``i``)."""
+        """Prepare chunk ``i``'s refine inputs (does not advance ``i``).
+
+        Pure host numpy — the returned arrays ride the refine call's H2D."""
         assert not self.done, "stream exhausted"
         pipe, cfg = self.pipe, self.pipe.cfg
-        self.rng, k_noise, k_ref = jax.random.split(self.rng, 3)
+        k_noise, k_ref = self._k_noise[self.i], self._k_ref[self.i]
         s0 = self.i * pipe.hop_samples
-        chunk = self.wav[:, s0 : s0 + pipe.chunk_samples]
-        if chunk.shape[1] < pipe.chunk_samples:
-            chunk = np.pad(
-                chunk, ((0, 0), (0, pipe.chunk_samples - chunk.shape[1]))
-            )
-        self._chunk_wav = chunk
         lat0 = s0 // 320
         z_chunk = self.z_q_global[:, lat0 : lat0 + self.sem_per_chunk, :]
         if z_chunk.shape[1] < self.sem_per_chunk:
-            z_chunk = jnp.pad(
+            z_chunk = np.pad(
                 z_chunk,
                 ((0, 0), (0, self.sem_per_chunk - z_chunk.shape[1]), (0, 0)),
             )
-        x_coarse = jax.random.normal(
-            k_noise, (1, pipe.chunk_frames, cfg.n_mels)
-        )
         have = self.prev_tail is not None
         if have:
             pad = pipe.chunk_frames - self.prev_tail.shape[1]
-            known_mel = jnp.pad(self.prev_tail, ((0, 0), (0, pad), (0, 0)))
+            known_mel = np.pad(self.prev_tail, ((0, 0), (0, pad), (0, 0)))
         else:
-            known_mel = jnp.zeros_like(x_coarse)
-        return x_coarse, z_chunk, known_mel, have, k_ref
+            known_mel = np.zeros(
+                (1, pipe.chunk_frames, cfg.n_mels), np.float32
+            )
+        return k_noise, z_chunk, known_mel, have, k_ref
 
-    def complete(self, x_ref):
-        """Fold the refined chunk in; return newly finalized increments."""
+    def complete(self, x_ref: np.ndarray):
+        """Fold the refined chunk in; return newly finalized increments.
+
+        ``x_ref`` must be host numpy (the caller's single D2H per tick)."""
         pipe = self.pipe
         i, num_chunks = self.i, self.num_chunks
+        x_ref = np.asarray(x_ref)
         self.prev_tail = x_ref[:, -pipe.overlap_frames :, :]
 
-        chunk_mel_log = pipe.mel_frontend(jnp.asarray(self._chunk_wav))
-        _, mean, std = normalize_mel(chunk_mel_log)
-        lin = np.asarray(jnp.exp(denormalize_mel(x_ref, mean, std)))[0].T
+        lin = np.exp(
+            x_ref * self._std[i : i + 1] + self._mean[i : i + 1]
+        ).astype(np.float32)[0].T
 
         # Boundary chunks keep full weight at the sequence edges: the
         # fade-in/out only makes sense against a neighboring chunk, and

@@ -324,6 +324,45 @@ class LongFormScheduler:
             "mean_batch_ms": round(self.device_ms_total / b, 3),
         }
 
+    def warmup(
+        self,
+        steps: int = 50,
+        strength: float = 0.6,
+        cfg_scale: float = 2.0,
+    ) -> None:
+        """Compile the batched refine for EVERY row count the scheduler can
+        emit for this signature (powers of two up to max_streams, plus the
+        max_streams cap itself).
+
+        Tick row counts depend on traffic timing, so without this a row
+        count first formed mid-traffic pays its multi-second XLA compile
+        inside a tick — stalling every live stream (measured: a lazily
+        compiled 4-row program turned an 85 ms tick into 4.5 s).  Chunk
+        geometry is fixed per server, so these shapes are static; only a
+        request with a non-default (steps, strength, cfg_scale) signature
+        still compiles lazily.
+        """
+        pipe = self.pipe
+        T = pipe.chunk_frames
+        M = pipe.cfg.n_mels
+        S = pipe.chunk_samples // 320
+        D = pipe.cfg.semantic_dim
+        key = np.zeros((2,), np.uint32)  # any valid PRNG key data
+        B = 1
+        while True:
+            pipe.refine_chunk_batch_keys(
+                np.tile(key[None], (B, 1)),
+                np.zeros((B, S, D), np.float32),
+                np.zeros((B, T, M), np.float32),
+                np.zeros((B,), bool),
+                np.tile(key[None], (B, 1)),
+                strength=float(strength), steps=int(steps),
+                cfg_scale=float(cfg_scale),
+            )
+            if B >= self.max_streams:
+                return
+            B = min(B * 2, self.max_streams)
+
     # -- client side --------------------------------------------------------
 
     def submit(
@@ -442,8 +481,6 @@ class LongFormScheduler:
         ]
 
     def _run_batch(self, batch: list, group: tuple):
-        import jax.numpy as jnp
-
         steps, strength, cfg_scale = group
         jobs = [s.chunk.next_job() for s in batch]
         n = len(jobs)
@@ -452,23 +489,26 @@ class LongFormScheduler:
             B *= 2
         B = min(B, self.max_streams)
         pad = B - n
-        x = jnp.concatenate(
-            [j[0] for j in jobs] + [jnp.zeros_like(jobs[0][0])] * pad, axis=0
+        # Jobs are host numpy (ChunkStream prefetches all device-derived
+        # state at submit), so assembling the batch is pure numpy and the
+        # whole tick is ONE device program + one D2H.
+        k_noise = np.stack(
+            [j[0] for j in jobs] + [jobs[0][0]] * pad
         )
-        z = jnp.concatenate(
-            [j[1] for j in jobs] + [jnp.zeros_like(jobs[0][1])] * pad, axis=0
+        z = np.concatenate(
+            [j[1] for j in jobs] + [np.zeros_like(jobs[0][1])] * pad, axis=0
         )
-        kn = jnp.concatenate(
-            [j[2] for j in jobs] + [jnp.zeros_like(jobs[0][2])] * pad, axis=0
+        kn = np.concatenate(
+            [j[2] for j in jobs] + [np.zeros_like(jobs[0][2])] * pad, axis=0
         )
-        hv = jnp.asarray([j[3] for j in jobs] + [False] * pad)
-        # Padding rows reuse row 0's key: their output is discarded, they
+        hv = np.asarray([j[3] for j in jobs] + [False] * pad)
+        # Padding rows reuse row 0's keys: their output is discarded, they
         # only exist to hold the program shape.
-        rngs = jnp.stack([j[4] for j in jobs] + [jobs[0][4]] * pad)
+        rngs = np.stack([j[4] for j in jobs] + [jobs[0][4]] * pad)
         t0 = time.monotonic()
         x_ref = np.asarray(
-            self.pipe.refine_chunk_batch(
-                x, z, kn, hv, rngs,
+            self.pipe.refine_chunk_batch_keys(
+                k_noise, z, kn, hv, rngs,
                 strength=strength, steps=steps, cfg_scale=cfg_scale,
             )
         )
@@ -820,6 +860,13 @@ def run_server(
             batcher.generate([1] * b, timeout=3600.0)
             say(f"serve: bucket {b} compiled")
         batcher.reset_stats()
+        if longform:
+            # Compile the scheduler's refine for every reachable row count
+            # at the protocol-default signature, so no tick pays a compile
+            # mid-traffic (non-default signatures still compile lazily).
+            longform_fn.scheduler.warmup()
+            say("serve: long-form refine programs compiled "
+                f"(rows up to {longform_streams})")
     server = serve_tcp(batcher, host=host, port=port, longform_fn=longform_fn)
     say(
         f"serving on {server.server_address[0]}:{server.server_address[1]} "

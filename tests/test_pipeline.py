@@ -99,6 +99,32 @@ def test_refine_batch_rows_match_single(tiny_pipeline):
         )
 
 
+def test_refine_keys_variant_matches_x_variant(tiny_pipeline):
+    # The dispatch-minimal serving surface (refine_chunk_batch_keys) draws
+    # the coarse noise on-device from per-row keys; row i must equal
+    # refine_chunk_batch fed x_coarse[i] = normal(k_noise[i], (1, T, M)).
+    cfg, pipe = tiny_pipeline
+    T, M = pipe.chunk_frames, cfg.n_mels
+    S = pipe.chunk_samples // 320
+    kw = dict(strength=0.3, steps=3, cfg_scale=2.0)
+
+    k_noise = jax.random.split(jax.random.PRNGKey(42), 2)
+    k_ref = jax.random.split(jax.random.PRNGKey(43), 2)
+    z = jax.random.normal(jax.random.PRNGKey(44), (2, S, cfg.semantic_dim))
+    kn = jax.random.normal(jax.random.PRNGKey(45), (2, T, M))
+    hv = jnp.asarray([True, False])
+
+    from_keys = np.asarray(pipe.refine_chunk_batch_keys(
+        np.asarray(k_noise), np.asarray(z), np.asarray(kn),
+        np.asarray(hv), np.asarray(k_ref), **kw
+    ))
+    x = jnp.concatenate(
+        [jax.random.normal(k, (1, T, M)) for k in k_noise], axis=0
+    )
+    from_x = np.asarray(pipe.refine_chunk_batch(x, z, kn, hv, k_ref, **kw))
+    np.testing.assert_allclose(from_keys, from_x, rtol=1e-5, atol=1e-6)
+
+
 def test_generate_streaming_matches_offline(tiny_pipeline):
     """Streaming increments concatenate to exactly the offline mel."""
     cfg, pipe = tiny_pipeline
@@ -152,16 +178,18 @@ def test_streaming_overlap_add_oracle(tiny_pipeline, monkeypatch):
         / cfg.sample_rate
     ).astype(np.float32)
 
-    def fake_refine(x_coarse, z_chunk, prev_tail, **kw):
+    def fake_refine(k_noise, z_chunk, known_mel, have, rngs, **kw):
         # Deterministic, chunk-distinguishable stand-in for the model:
         # a linear ramp over frames offset by the chunk's z slice sum
         # (so chunks differ and window blending is actually exercised).
-        ramp = jnp.linspace(-1.0, 1.0, x_coarse.shape[1])[None, :, None]
+        # Signature = refine_chunk_batch_keys (the surface
+        # generate_streaming drives).
+        ramp = jnp.linspace(-1.0, 1.0, known_mel.shape[1])[None, :, None]
         return jnp.broadcast_to(
-            ramp, x_coarse.shape
+            ramp, known_mel.shape
         ) + 0.01 * jnp.sum(z_chunk)
 
-    monkeypatch.setattr(pipe, "refine_chunk", fake_refine)
+    monkeypatch.setattr(pipe, "refine_chunk_batch_keys", fake_refine)
 
     chunks = list(
         pipe.generate_streaming(wav, steps=1, rng=jax.random.PRNGKey(0))
@@ -200,7 +228,8 @@ def test_streaming_overlap_add_oracle(tiny_pipeline, monkeypatch):
                 ((0, 0), (0, sem_per_chunk - z_chunk.shape[1]), (0, 0)),
             )
         x_ref = fake_refine(
-            jnp.zeros((1, cf, cfg.n_mels), jnp.float32), z_chunk, None
+            None, z_chunk, jnp.zeros((1, cf, cfg.n_mels), jnp.float32),
+            None, None,
         )
         _, mean, std = normalize_mel(pipe.mel_frontend(jnp.asarray(chunk)))
         lin = np.asarray(jnp.exp(denormalize_mel(x_ref, mean, std)))[0].T
@@ -220,7 +249,9 @@ def test_streaming_overlap_add_oracle(tiny_pipeline, monkeypatch):
     )
 
     assert streamed.shape == expected.shape == (cfg.n_mels, total_frames)
-    np.testing.assert_allclose(streamed, expected, atol=1e-5)
+    # rtol absorbs last-ulp exp() differences: ChunkStream denormalizes on
+    # host (np.exp), the oracle on device (XLA exp).
+    np.testing.assert_allclose(streamed, expected, rtol=1e-5, atol=1e-5)
     # The first frame is real generated mel (linear mel is exp() > 0), not
     # the exact-zero silence a fade-to-zero against no neighbor produced.
     assert np.abs(streamed[:, 0]).max() > 0.0

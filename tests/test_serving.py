@@ -487,13 +487,13 @@ def test_longform_scheduler_matches_solo(longform_server):
         for seed in (1, 2, 3)
     }
 
-    real_refine = pipe.refine_chunk_batch
+    real_refine = pipe.refine_chunk_batch_keys
 
     def slow_refine(*a, **k):
         _time.sleep(0.15)
         return real_refine(*a, **k)
 
-    pipe.refine_chunk_batch = slow_refine
+    pipe.refine_chunk_batch_keys = slow_refine
     sched = LongFormScheduler(pipe, max_streams=4)
     try:
         iters = {
@@ -508,7 +508,7 @@ def test_longform_scheduler_matches_solo(longform_server):
         assert sched.chunks_run > sched.batches_run  # multi-row batches ran
         assert sched.stats()["mean_row_occupancy"] > 0.4
     finally:
-        pipe.refine_chunk_batch = real_refine
+        pipe.refine_chunk_batch_keys = real_refine
         sched.close()
 
     for seed, wav in wavs.items():
@@ -524,6 +524,33 @@ def test_longform_scheduler_matches_solo(longform_server):
         np.testing.assert_allclose(
             results[seed], solo, rtol=1e-5, atol=1e-6
         )
+
+
+def test_longform_scheduler_warmup_compiles_row_counts(longform_server):
+    # warmup() must pre-build the refine program for every row count a tick
+    # can emit (1, 2, ..., max_streams cap) so no live tick pays an XLA
+    # compile mid-traffic.
+    from edge_diffusion_tts_tpu.serving import LongFormScheduler
+
+    cfg, pipe, _ = longform_server
+    sched = LongFormScheduler(pipe, max_streams=3)
+    try:
+        before = set(pipe._refine_jit)
+        sched.warmup(steps=2, strength=0.3, cfg_scale=1.0)
+        assert (0.3, 2, 1.0, "k") in set(pipe._refine_jit) - before or (
+            (0.3, 2, 1.0, "k") in before
+        )
+        # The compiled fn is shared across row counts (jit re-specializes
+        # per shape); warmup must have executed B=1,2,3 without error, and
+        # a real submit afterwards still works.
+        it = sched.submit(
+            np.zeros(int(0.6 * cfg.sample_rate), np.float32),
+            steps=2, strength=0.3, cfg_scale=1.0, seed=0,
+        )
+        segs = list(it)
+        assert segs and all(np.isfinite(s).all() for s, _ in segs)
+    finally:
+        sched.close()
 
 
 def test_tcp_longform_concurrent_streams(longform_server):
