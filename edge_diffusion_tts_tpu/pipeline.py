@@ -261,39 +261,61 @@ class LongFormPipeline:
             have_known, rngs,
         )
 
-    def chunk_key_chain(self, rng, n: int):
-        """The per-chunk PRNG chain ``rng -> n x (k_noise, k_ref)`` as ONE
-        device program, fetched to host once (bit-identical to n sequential
-        ``rng, k_noise, k_ref = jax.random.split(rng, 3)`` calls, each of
-        which would otherwise be its own ~30 ms tunneled dispatch)."""
-        if not hasattr(self, "_key_chain_jit"):
+    def stream_prep(self, wav: np.ndarray, rng):
+        """A long-form stream's ENTIRE device-derived prep as ONE program.
+
+        ``wav [1, total]`` -> host numpy tuple
+        ``(z_q_global [1,S,D], mean [N,1,M], std [N,1,M],
+        k_noise [N,2], k_ref [N,2])`` where N is the stream's chunk count:
+
+        - global semantic encode (pad to x320, as ``encode_global``);
+        - every chunk's denormalization statistics — chunk slicing done
+          in-program via a computed gather (an index CONSTANT at real
+          lengths would blow the tunnel's remote-compile body limit),
+          row-identical to ``normalize_mel(mel_frontend(chunk))`` per chunk
+          (the reference's per-chunk GT stats,
+          inference_pipeline.py:354-356);
+        - the per-chunk PRNG chain, bit-identical to N sequential
+          ``rng, k_noise, k_ref = jax.random.split(rng, 3)`` calls.
+
+        One dispatch + one fetch per submit instead of three of each —
+        through a tunneled chip each dispatch is ~30 ms, and submit latency
+        is the time-to-first-increment floor for a new stream.  Re-traces
+        per wav length (N and the pads are shape-derived).
+        """
+        if self.encoder_apply is None:
+            raise ValueError("pipeline constructed without an encoder")
+        if not hasattr(self, "_prep_jit"):
             @jax.jit
-            def chain(rng, dummy):
+            def prep(enc_params, wav, rng):
+                total = wav.shape[1]
+                n = max(
+                    1,
+                    -(-(total - self.overlap_samples) // self.hop_samples),
+                )
+                pad320 = (320 - total % 320) % 320
+                z = self.encoder_apply(
+                    enc_params, jnp.pad(wav, ((0, 0), (0, pad320)))
+                )
+                cs, hop = self.chunk_samples, self.hop_samples
+                padded = jnp.pad(
+                    wav[0], (0, max(0, (n - 1) * hop + cs - total))
+                )
+                idx = (jnp.arange(n) * hop)[:, None] + jnp.arange(cs)[None, :]
+                chunks = padded[idx]
+                _, mean, std = normalize_mel(self.mel_frontend(chunks))
+
                 def body(r, _):
                     r, kn, kr = jax.random.split(r, 3)
                     return r, (kn, kr)
-                _, (kns, krs) = jax.lax.scan(body, rng, dummy)
-                return kns, krs
 
-            self._key_chain_jit = chain
-        kns, krs = self._key_chain_jit(rng, jnp.zeros((n,), jnp.int8))
-        return np.asarray(kns), np.asarray(krs)
+                _, (kns, krs) = jax.lax.scan(body, rng, None, length=n)
+                return z, mean, std, kns, krs
 
-    def chunk_mel_stats(self, chunk_wavs: np.ndarray):
-        """Per-chunk denormalization statistics for ALL chunks in ONE
-        program: ``[N, chunk_samples]`` -> (mean, std) each ``[N, 1, M]``
-        on host.  Row-identical to ``normalize_mel(mel_frontend(chunk))``
-        per chunk (the reference's per-chunk GT stats,
-        inference_pipeline.py:354-356)."""
-        if not hasattr(self, "_stats_jit"):
-            @jax.jit
-            def stats(wavs):
-                _, mean, std = normalize_mel(self.mel_frontend(wavs))
-                return mean, std
-
-            self._stats_jit = stats
-        mean, std = self._stats_jit(jnp.asarray(chunk_wavs))
-        return np.asarray(mean), np.asarray(std)
+            self._prep_jit = prep
+        return jax.device_get(
+            self._prep_jit(self.encoder_params, jnp.asarray(wav), rng)
+        )
 
     # -- full pipeline -------------------------------------------------------
 
@@ -560,14 +582,15 @@ class ChunkStream:
       crossfade accumulator and returns the newly finalized
       ``(linear_mel_segment, frame_offset)`` increments (possibly none).
 
-    Dispatch economics (the TPU re-design): construction runs THREE device
-    programs total — global semantic encode, all chunks' denorm stats in
-    one batch, and the whole per-chunk PRNG chain — and fetches their
-    results to host, so ``next_job``/``complete`` are pure numpy and the
-    only device program per chunk is the (batched) refine itself.  Through
-    a tunneled chip every dispatch costs ~30 ms; the previous per-chunk
-    prep (noise draw, pads, per-chunk mel stats, denorm) was ~10 dispatches
-    per stream per tick and dominated the batched refine it fed.
+    Dispatch economics (the TPU re-design): construction runs ONE device
+    program total (``LongFormPipeline.stream_prep``: global semantic
+    encode + all chunks' denorm stats + the whole per-chunk PRNG chain)
+    and fetches its results to host, so ``next_job``/``complete`` are pure
+    numpy and the only device program per chunk is the (batched) refine
+    itself.  Through a tunneled chip every dispatch costs ~30 ms; the
+    naive per-chunk prep (noise draw, pads, per-chunk mel stats, denorm)
+    was ~10 dispatches per stream per tick and dominated the batched
+    refine it fed (1065 -> 46 ms/tick measured, SERVE_LF_r03.json).
 
     The chunk geometry, crossfade windows, per-chunk mel statistics, and
     boundary-weight handling are exactly ``generate_streaming``'s (reference
@@ -606,17 +629,11 @@ class ChunkStream:
         self.emitted = 0
         self.i = 0
 
-        # The stream's ENTIRE device-prep, fetched to host up front (three
-        # programs; see class docstring).  Everything after this is numpy
-        # plus one refine program per chunk.
-        self.z_q_global = np.asarray(pipe.encode_global(jnp.asarray(self.wav)))
-        self._k_noise, self._k_ref = pipe.chunk_key_chain(rng, self.num_chunks)
-        chunks = np.zeros((self.num_chunks, pipe.chunk_samples), np.float32)
-        for i in range(self.num_chunks):
-            s0 = i * pipe.hop_samples
-            c = self.wav[0, s0 : s0 + pipe.chunk_samples]
-            chunks[i, : c.shape[0]] = c
-        self._mean, self._std = pipe.chunk_mel_stats(chunks)
+        # The stream's ENTIRE device-prep, fetched to host up front as ONE
+        # program (LongFormPipeline.stream_prep; see class docstring).
+        # Everything after this is numpy plus one refine program per chunk.
+        (self.z_q_global, self._mean, self._std,
+         self._k_noise, self._k_ref) = pipe.stream_prep(self.wav, rng)
 
     @property
     def done(self) -> bool:
