@@ -272,9 +272,9 @@ class LongFormPipeline:
         - every chunk's denormalization statistics — chunk slicing done
           in-program via a computed gather (an index CONSTANT at real
           lengths would blow the tunnel's remote-compile body limit),
-          row-identical to ``normalize_mel(mel_frontend(chunk))`` per chunk
-          (the reference's per-chunk GT stats,
-          inference_pipeline.py:354-356);
+          row-equal to ``normalize_mel(mel_frontend(chunk))`` per chunk up
+          to last-ulp XLA fusion differences (the reference's per-chunk GT
+          stats, inference_pipeline.py:354-356);
         - the per-chunk PRNG chain, bit-identical to N sequential
           ``rng, k_noise, k_ref = jax.random.split(rng, 3)`` calls.
 

@@ -125,6 +125,48 @@ def test_refine_keys_variant_matches_x_variant(tiny_pipeline):
     np.testing.assert_allclose(from_keys, from_x, rtol=1e-5, atol=1e-6)
 
 
+def test_stream_prep_matches_unfused_oracles(tiny_pipeline):
+    # stream_prep's fused program must be bit-identical to the unfused
+    # pieces it replaced: encode_global, per-chunk
+    # normalize_mel(mel_frontend(chunk)) stats, and the sequential
+    # rng, k_noise, k_ref = split(rng, 3) chain.
+    cfg, pipe = tiny_pipeline
+    wav = (
+        0.2 * np.sin(2 * np.pi * 220 * np.arange(int(0.9 * cfg.sample_rate))
+                     / cfg.sample_rate)
+    ).astype(np.float32).reshape(1, -1)
+    rng = jax.random.PRNGKey(5)
+    z, mean, std, kns, krs = pipe.stream_prep(wav, rng)
+
+    np.testing.assert_array_equal(
+        z, np.asarray(pipe.encode_global(jnp.asarray(wav)))
+    )
+    n = max(1, int(np.ceil(
+        (wav.shape[1] - pipe.overlap_samples) / pipe.hop_samples
+    )))
+    assert mean.shape == std.shape == (n, 1, cfg.n_mels)
+    assert kns.shape == krs.shape == (n, 2)
+    from edge_diffusion_tts_tpu.utils.audio import normalize_mel
+    r = rng
+    for i in range(n):
+        s0 = i * pipe.hop_samples
+        chunk = np.zeros((1, pipe.chunk_samples), np.float32)
+        c = wav[0, s0 : s0 + pipe.chunk_samples]
+        chunk[0, : c.shape[0]] = c
+        _, m_i, s_i = normalize_mel(pipe.mel_frontend(jnp.asarray(chunk)))
+        # rtol absorbs last-ulp XLA fusion differences: the fused program
+        # schedules the mel reductions differently than the standalone call.
+        np.testing.assert_allclose(
+            mean[i : i + 1], np.asarray(m_i), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            std[i : i + 1], np.asarray(s_i), rtol=1e-6
+        )
+        r, kn, kr = jax.random.split(r, 3)
+        np.testing.assert_array_equal(kns[i], np.asarray(kn))
+        np.testing.assert_array_equal(krs[i], np.asarray(kr))
+
+
 def test_generate_streaming_matches_offline(tiny_pipeline):
     """Streaming increments concatenate to exactly the offline mel."""
     cfg, pipe = tiny_pipeline
