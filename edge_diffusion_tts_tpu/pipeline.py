@@ -49,6 +49,7 @@ class LongFormPipeline:
         encoder_params=None,
         chunk_seconds: float = 2.0,
         overlap_seconds: float = 0.5,
+        mesh=None,
     ):
         self.cfg = cfg
         self.schedule = schedule
@@ -56,6 +57,13 @@ class LongFormPipeline:
         self.decoder_params = decoder_params
         self.encoder_apply = encoder_apply
         self.encoder_params = encoder_params
+        # Optional jax.sharding.Mesh: the batched refine shards its stream
+        # rows over the mesh's data axis (params replicated, XLA inserts
+        # the collectives) — N chips serve N x the concurrent long-form
+        # streams at one stream's per-chunk latency.  Row counts must then
+        # be multiples of the data-axis size (``row_quantum``); the serving
+        # scheduler pads its batches accordingly.
+        self.mesh = mesh
         self.mel_frontend = MelFrontend(
             sample_rate=cfg.sample_rate,
             n_fft=cfg.n_fft,
@@ -72,6 +80,16 @@ class LongFormPipeline:
         self.overlap_frames = self.overlap_samples // cfg.hop_length + 1
         self.hop_frames = self.chunk_frames - self.overlap_frames
         self._refine_jit = {}
+
+    @property
+    def row_quantum(self) -> int:
+        """Smallest valid row count for the batched refine (the mesh's
+        data-axis size, or 1 single-device)."""
+        if self.mesh is None:
+            return 1
+        from .parallel.mesh import DATA_AXIS
+
+        return self.mesh.shape[DATA_AXIS]
 
     # -- jitted chunk refine -------------------------------------------------
 
@@ -113,7 +131,24 @@ class LongFormPipeline:
             np.concatenate([grid[1:], [0]]), dtype=jnp.int32
         )
 
-        @jax.jit
+        if self.mesh is not None:
+            # Rows sharded over the data axis, params replicated; the
+            # fused CFG batch of 2B inside stays row-sharded (XLA GSPMD).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import DATA_AXIS
+
+            rows = NamedSharding(self.mesh, P(DATA_AXIS))
+            repl = NamedSharding(self.mesh, P())
+            jit = lambda f: jax.jit(  # noqa: E731
+                f,
+                in_shardings=(repl, rows, rows, rows, rows, rows),
+                out_shardings=rows,
+            )
+        else:
+            jit = jax.jit
+
+        @jit
         def refine(params, x_in, sem_features, known_mel, have_known, rngs):
             B, T, M = known_mel.shape
             if from_keys:
@@ -222,16 +257,37 @@ class LongFormPipeline:
         entry point.  ``known_mel`` must already be padded to ``x_coarse``'s
         frame count; ``have_known [B]`` gates inpainting per row; ``rngs``
         carries one PRNG key per row (a single key broadcasts over B=1).
-        Rows are computed independently (see ``_build_refine``)."""
+        Rows are computed independently (see ``_build_refine``).  Under a
+        mesh, row counts not divisible by ``row_quantum`` are padded with
+        discarded rows."""
         key = (strength, steps, cfg_scale, "x")
         if key not in self._refine_jit:
             self._refine_jit[key] = self._build_refine(
                 strength, steps, cfg_scale, from_keys=False
             )
-        return self._refine_jit[key](
-            self.decoder_params, x_coarse, sem_features, known_mel,
-            have_known, rngs,
+        args, n, pad = self._pad_rows(
+            x_coarse, sem_features, known_mel, have_known, rngs
         )
+        out = self._refine_jit[key](self.decoder_params, *args)
+        return out if pad == 0 else out[:n]
+
+    def _pad_rows(self, x_in, sem_features, known_mel, have_known, rngs):
+        """Pad every row-sharded refine argument to a multiple of
+        ``row_quantum`` (padding rows repeat row 0's key material and carry
+        ``have_known=False``; their output is sliced away)."""
+        n = known_mel.shape[0]
+        q = self.row_quantum
+        pad = (q - n % q) % q
+        if pad == 0:
+            return (x_in, sem_features, known_mel, have_known, rngs), n, 0
+        rep = lambda a: np.concatenate(  # noqa: E731
+            [np.asarray(a)] + [np.asarray(a[:1])] * pad, axis=0
+        )
+        have = np.concatenate(
+            [np.asarray(have_known), np.zeros((pad,), bool)]
+        )
+        return (rep(x_in), rep(sem_features), rep(known_mel), have,
+                rep(rngs)), n, pad
 
     def refine_chunk_batch_keys(
         self,
@@ -250,16 +306,19 @@ class LongFormPipeline:
         of the noise.  Row i equals ``refine_chunk_batch`` with
         ``x_coarse[i] = jax.random.normal(k_noise[i], (1, T, M))``.  This is
         the entry point ``ChunkStream``/``LongFormScheduler`` use; inputs
-        may be host numpy (they ride the call's H2D)."""
+        may be host numpy (they ride the call's H2D).  Under a mesh, row
+        counts not divisible by ``row_quantum`` are padded with discarded
+        rows."""
         key = (strength, steps, cfg_scale, "k")
         if key not in self._refine_jit:
             self._refine_jit[key] = self._build_refine(
                 strength, steps, cfg_scale, from_keys=True
             )
-        return self._refine_jit[key](
-            self.decoder_params, k_noise, sem_features, known_mel,
-            have_known, rngs,
+        args, n, pad = self._pad_rows(
+            k_noise, sem_features, known_mel, have_known, rngs
         )
+        out = self._refine_jit[key](self.decoder_params, *args)
+        return out if pad == 0 else out[:n]
 
     def stream_prep(self, wav: np.ndarray, rng):
         """A long-form stream's ENTIRE device-derived prep as ONE program.

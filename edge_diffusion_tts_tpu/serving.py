@@ -302,6 +302,15 @@ class LongFormScheduler:
     def __init__(self, pipe, max_streams: int = 4):
         self.pipe = pipe
         self.max_streams = int(max_streams)
+        # Under a mesh the refine shards rows over the data axis; every
+        # batch row count must be a multiple of that axis size.
+        self.row_quantum = int(getattr(pipe, "row_quantum", 1))
+        if self.max_streams % self.row_quantum:
+            raise ValueError(
+                f"max_streams={max_streams} must be a multiple of the "
+                f"pipeline's row_quantum={self.row_quantum} (the mesh "
+                f"data-axis size)"
+            )
         self._inbox: "queue.Queue[Optional[_LFStream]]" = queue.Queue()
         self._active: list = []
         self._closed = False
@@ -331,8 +340,8 @@ class LongFormScheduler:
         cfg_scale: float = 2.0,
     ) -> None:
         """Compile the batched refine for EVERY row count the scheduler can
-        emit for this signature (powers of two up to max_streams, plus the
-        max_streams cap itself).
+        emit for this signature (row_quantum x powers of two up to
+        max_streams, plus the max_streams cap itself).
 
         Tick row counts depend on traffic timing, so without this a row
         count first formed mid-traffic pays its multi-second XLA compile
@@ -348,7 +357,7 @@ class LongFormScheduler:
         S = pipe.chunk_samples // 320
         D = pipe.cfg.semantic_dim
         key = np.zeros((2,), np.uint32)  # any valid PRNG key data
-        B = 1
+        B = self.row_quantum
         while True:
             pipe.refine_chunk_batch_keys(
                 np.tile(key[None], (B, 1)),
@@ -484,7 +493,7 @@ class LongFormScheduler:
         steps, strength, cfg_scale = group
         jobs = [s.chunk.next_job() for s in batch]
         n = len(jobs)
-        B = 1
+        B = self.row_quantum
         while B < n:
             B *= 2
         B = min(B, self.max_streams)
@@ -832,6 +841,14 @@ def run_server(
         )
 
         encoder = SemanticEncoder(cfg, restore_hubert_config(checkpoint))
+        lf_mesh = None
+        if mesh:
+            # Same data-axis mesh as the token path: scheduler ticks shard
+            # their stream rows over the chips (longform_streams must be a
+            # multiple of the mesh size; LongFormScheduler validates).
+            from .parallel.mesh import make_mesh
+
+            lf_mesh = make_mesh((mesh, 1))
         pipe = LongFormPipeline(
             cfg,
             schedule,
@@ -843,6 +860,7 @@ def run_server(
             encoder_params=encoder_variables(params),
             chunk_seconds=chunk_seconds,
             overlap_seconds=overlap_seconds,
+            mesh=lf_mesh,
         )
         longform_fn = make_longform_fn(pipe, max_streams=longform_streams)
 

@@ -125,6 +125,67 @@ def test_refine_keys_variant_matches_x_variant(tiny_pipeline):
     np.testing.assert_allclose(from_keys, from_x, rtol=1e-5, atol=1e-6)
 
 
+def test_refine_mesh_sharded_matches_single_device(tiny_pipeline):
+    # A meshed pipeline shards refine rows over the data axis; outputs must
+    # equal the single-device program row for row, including when the row
+    # count needs internal padding to the quantum (B=1 single-stream path).
+    from edge_diffusion_tts_tpu.parallel.mesh import make_mesh
+
+    cfg, pipe = tiny_pipeline
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    pipe_m = LongFormPipeline(
+        cfg, pipe.schedule, pipe.decoder_apply, pipe.decoder_params,
+        encoder_apply=pipe.encoder_apply, encoder_params={},
+        chunk_seconds=0.5, overlap_seconds=0.125, mesh=mesh,
+    )
+    assert pipe_m.row_quantum == 4
+    T, M = pipe.chunk_frames, cfg.n_mels
+    S = pipe.chunk_samples // 320
+    kw = dict(strength=0.3, steps=2, cfg_scale=2.0)
+
+    k_noise = np.asarray(jax.random.split(jax.random.PRNGKey(50), 4))
+    k_ref = np.asarray(jax.random.split(jax.random.PRNGKey(51), 4))
+    z = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(52), (4, S, cfg.semantic_dim))
+    )
+    kn = np.asarray(jax.random.normal(jax.random.PRNGKey(53), (4, T, M)))
+    hv = np.asarray([True, False, True, False])
+
+    sharded = np.asarray(
+        pipe_m.refine_chunk_batch_keys(k_noise, z, kn, hv, k_ref, **kw)
+    )
+    single = np.asarray(
+        pipe.refine_chunk_batch_keys(k_noise, z, kn, hv, k_ref, **kw)
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+    # B=1 pads internally to the quantum and slices back.
+    one = np.asarray(pipe_m.refine_chunk_batch_keys(
+        k_noise[:1], z[:1], kn[:1], hv[:1], k_ref[:1], **kw
+    ))
+    assert one.shape == (1, T, M)
+    np.testing.assert_allclose(one, single[:1], rtol=1e-5, atol=1e-6)
+
+    # The whole streaming pipeline runs unchanged on a meshed pipe.
+    wav = (0.1 * np.sin(np.arange(int(0.8 * cfg.sample_rate)) / 30)).astype(
+        np.float32
+    )
+    segs_m = [
+        s for s, _ in pipe_m.generate_streaming(
+            wav, rng=jax.random.PRNGKey(9), **kw
+        )
+    ]
+    segs_1 = [
+        s for s, _ in pipe.generate_streaming(
+            wav, rng=jax.random.PRNGKey(9), **kw
+        )
+    ]
+    np.testing.assert_allclose(
+        np.concatenate(segs_m, axis=1), np.concatenate(segs_1, axis=1),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_stream_prep_matches_unfused_oracles(tiny_pipeline):
     # stream_prep's fused program must be bit-identical to the unfused
     # pieces it replaced: encode_global, per-chunk

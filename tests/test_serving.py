@@ -526,6 +526,113 @@ def test_longform_scheduler_matches_solo(longform_server):
         )
 
 
+def test_longform_scheduler_on_mesh_matches_solo(longform_server):
+    # A meshed pipeline shards scheduler ticks over the data axis: batches
+    # pad to the row quantum (4 devices here), and each stream still equals
+    # its solo single-device generation.  max_streams must be a multiple of
+    # the quantum.
+    from edge_diffusion_tts_tpu.parallel.mesh import make_mesh
+    from edge_diffusion_tts_tpu.pipeline import LongFormPipeline
+    from edge_diffusion_tts_tpu.serving import LongFormScheduler
+
+    cfg, pipe, _ = longform_server
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    pipe_m = LongFormPipeline(
+        cfg, pipe.schedule, pipe.decoder_apply, pipe.decoder_params,
+        encoder_apply=pipe.encoder_apply, encoder_params={},
+        chunk_seconds=0.5, overlap_seconds=0.125, mesh=mesh,
+    )
+    with pytest.raises(ValueError, match="row_quantum"):
+        LongFormScheduler(pipe_m, max_streams=3)
+
+    kw = dict(steps=2, strength=0.3, cfg_scale=1.0)
+    t = np.arange(int(0.8 * cfg.sample_rate)) / cfg.sample_rate
+    wavs = {
+        seed: (0.1 * np.sin(2 * np.pi * (240 + 70 * seed) * t)).astype(
+            np.float32
+        )
+        for seed in (6, 7)
+    }
+    sched = LongFormScheduler(pipe_m, max_streams=4)
+    try:
+        iters = {
+            seed: sched.submit(wavs[seed], seed=seed, **kw) for seed in wavs
+        }
+        results = {
+            seed: np.concatenate([s for s, _ in it], axis=1)
+            for seed, it in iters.items()
+        }
+        assert sched.rows_padded % 4 == 0  # every tick a quantum multiple
+    finally:
+        sched.close()
+
+    for seed, wav in wavs.items():
+        solo = np.concatenate(
+            [
+                s
+                for s, _ in pipe.generate_streaming(
+                    wav, rng=jax.random.PRNGKey(seed), **kw
+                )
+            ],
+            axis=1,
+        )
+        np.testing.assert_allclose(
+            results[seed], solo, rtol=1e-5, atol=1e-6
+        )
+
+
+def test_longform_scheduler_mixed_signatures_no_starvation(longform_server):
+    # Streams with DIFFERENT refine signatures cannot share a device
+    # program; the scheduler must round-robin the groups (served streams
+    # rotate to the back) so neither signature starves, and each stream
+    # still matches its solo generation.
+    from edge_diffusion_tts_tpu.serving import LongFormScheduler
+
+    cfg, pipe, _ = longform_server
+    secs = 0.8
+    t = np.arange(int(secs * cfg.sample_rate)) / cfg.sample_rate
+    wav_a = (0.1 * np.sin(2 * np.pi * 230 * t)).astype(np.float32)
+    wav_b = (0.1 * np.sin(2 * np.pi * 310 * t)).astype(np.float32)
+    kw_a = dict(steps=2, strength=0.3, cfg_scale=1.0)
+    kw_b = dict(steps=3, strength=0.4, cfg_scale=2.0)
+
+    sched = LongFormScheduler(pipe, max_streams=4)
+    try:
+        it_a = sched.submit(wav_a, seed=11, **kw_a)
+        it_b = sched.submit(wav_b, seed=12, **kw_b)
+        results = {}
+        threads = []
+        for name, it in (("a", it_a), ("b", it_b)):
+            def run(name=name, it=it):
+                results[name] = np.concatenate(
+                    [s for s, _ in it], axis=1
+                )
+            th = threading.Thread(target=run)
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join(timeout=300)
+        assert set(results) == {"a", "b"}
+    finally:
+        sched.close()
+
+    for name, wav, kw, seed in (
+        ("a", wav_a, kw_a, 11), ("b", wav_b, kw_b, 12)
+    ):
+        solo = np.concatenate(
+            [
+                s
+                for s, _ in pipe.generate_streaming(
+                    wav, rng=jax.random.PRNGKey(seed), **kw
+                )
+            ],
+            axis=1,
+        )
+        np.testing.assert_allclose(
+            results[name], solo, rtol=1e-5, atol=1e-6
+        )
+
+
 def test_longform_scheduler_warmup_compiles_row_counts(longform_server):
     # warmup() must pre-build the refine program for every row count a tick
     # can emit (1, 2, ..., max_streams cap) so no live tick pays an XLA
