@@ -588,38 +588,45 @@ class LongFormPipeline:
     def vocode(
         self, linear_mel: np.ndarray, rng, n_iter: int = 100
     ) -> np.ndarray:
-        """Linear mel [n_mels, T] -> waveform via smooth + invmel + Griffin-Lim."""
-        mel = jnp.asarray(linear_mel)[None]  # [1, n_mels, T]
-        # 5x3 average-pool smoothing, stride 1, same padding
-        # (reference: inference_pipeline.py:380-392).
-        kh, kw = 5, 3
-        smoothed = jax.lax.reduce_window(
-            mel,
-            0.0,
-            jax.lax.add,
-            window_dimensions=(1, kh, kw),
-            window_strides=(1, 1, 1),
-            padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
-        )
-        counts = jax.lax.reduce_window(
-            jnp.ones_like(mel),
-            0.0,
-            jax.lax.add,
-            window_dimensions=(1, kh, kw),
-            window_strides=(1, 1, 1),
-            padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
-        )
-        smoothed = smoothed / counts
+        """Linear mel [n_mels, T] -> waveform via smooth + invmel + Griffin-Lim.
 
-        mel_btm = jnp.transpose(smoothed, (0, 2, 1))  # [1, T, n_mels]
-        spec = inverse_mel_scale(mel_btm, self.mel_frontend.fbank)
-        wav = griffin_lim(
-            spec,
-            rng,
-            n_fft=self.cfg.n_fft,
-            hop_length=self.cfg.hop_length,
-            win_length=self.cfg.win_length,
-            n_iter=n_iter,
+        The whole chain is ONE jitted program (the nested griffin_lim jit
+        inlines): the streaming-audio path calls this per increment, and
+        its ~6 eager ops would otherwise each pay a tunneled dispatch.
+        Re-specializes per window width; streaming render windows settle to
+        a steady width after the first increments.
+        """
+        if not hasattr(self, "_vocode_jit"):
+            from functools import partial as _partial
+
+            @_partial(jax.jit, static_argnames=("n_iter",))
+            def run(mel, rng, n_iter):
+                # 5x3 average-pool smoothing, stride 1, same padding
+                # (reference: inference_pipeline.py:380-392).
+                kh, kw = 5, 3
+                dims, strides = (1, kh, kw), (1, 1, 1)
+                pad = ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2))
+                smoothed = jax.lax.reduce_window(
+                    mel, 0.0, jax.lax.add, dims, strides, pad
+                )
+                counts = jax.lax.reduce_window(
+                    jnp.ones_like(mel), 0.0, jax.lax.add, dims, strides, pad
+                )
+                smoothed = smoothed / counts
+                mel_btm = jnp.transpose(smoothed, (0, 2, 1))  # [1, T, M]
+                spec = inverse_mel_scale(mel_btm, self.mel_frontend.fbank)
+                return griffin_lim(
+                    spec,
+                    rng,
+                    n_fft=self.cfg.n_fft,
+                    hop_length=self.cfg.hop_length,
+                    win_length=self.cfg.win_length,
+                    n_iter=n_iter,
+                )
+
+            self._vocode_jit = run
+        wav = self._vocode_jit(
+            jnp.asarray(linear_mel)[None], rng, n_iter=n_iter
         )
         return np.asarray(wav[0])
 
