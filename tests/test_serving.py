@@ -5,6 +5,8 @@ EACH row numerics equal to its own unpadded run — batching is a pure
 throughput optimization (serving.py; decoder sem_mask/mel_mask).
 """
 
+import base64
+import json
 import threading
 
 import jax
@@ -700,6 +702,61 @@ def test_tcp_longform_concurrent_streams(longform_server):
         np.testing.assert_allclose(
             results[seed], offline, rtol=1e-5, atol=1e-6
         )
+
+
+def test_tcp_longform_client_disconnect_mid_stream(longform_server):
+    # A client that drops its connection after the first increment must not
+    # disturb streams sharing its scheduler batches: the abandoned stream is
+    # cancelled (its remaining chunks never scheduled) and the survivor
+    # still matches its offline generation exactly.
+    import socket as socket_mod
+
+    cfg, pipe, server = longform_server
+    host, port = server.server_address
+    kw = dict(steps=2, strength=0.3, cfg_scale=1.0)
+    t = np.arange(int(1.2 * cfg.sample_rate)) / cfg.sample_rate
+    wav_keep = (0.1 * np.sin(2 * np.pi * 270 * t)).astype(np.float32)
+    wav_drop = (0.1 * np.sin(2 * np.pi * 350 * t)).astype(np.float32)
+    results = {}
+
+    def survivor():
+        from edge_diffusion_tts_tpu.serving import request_longform
+
+        segs = list(request_longform(
+            wav_keep, host=host, port=port, seed=21, **kw
+        ))
+        results["keep"] = np.concatenate([s for s, _ in segs], axis=1)
+
+    def dropper():
+        wav = np.ascontiguousarray(wav_drop.astype("<f4"))
+        req = {"longform": dict(
+            kw, seed=22,
+            wav_b64=base64.b64encode(wav.tobytes()).decode("ascii"),
+        )}
+        with socket_mod.create_connection((host, port), timeout=60) as s:
+            s.sendall((json.dumps(req) + "\n").encode())
+            s.recv(1 << 16)  # first response line(s), then vanish
+
+    th_drop = threading.Thread(target=dropper)
+    th_keep = threading.Thread(target=survivor)
+    th_drop.start()
+    th_keep.start()
+    th_drop.join(timeout=120)
+    th_keep.join(timeout=300)
+    assert "keep" in results
+
+    offline, _ = pipe.generate(
+        wav_keep, vocode=False, rng=jax.random.PRNGKey(21), **kw
+    )
+    np.testing.assert_allclose(results["keep"], offline, rtol=1e-5, atol=1e-6)
+
+    # The scheduler survives and serves new streams afterwards.
+    from edge_diffusion_tts_tpu.serving import request_longform
+
+    segs = list(request_longform(
+        wav_keep, host=host, port=port, seed=23, **kw
+    ))
+    assert segs and all(np.isfinite(s).all() for s, _ in segs)
 
 
 def test_tcp_longform_audio_stream(longform_server):
