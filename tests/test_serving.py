@@ -480,12 +480,15 @@ def test_longform_scheduler_matches_solo(longform_server):
 
     cfg, pipe, _ = longform_server
     kw = dict(steps=2, strength=0.3, cfg_scale=1.0)
-    secs = 1.0
-    t = np.arange(int(secs * cfg.sample_rate)) / cfg.sample_rate
+    # Unequal lengths: streams carry different CHUNK COUNTS, so they leave
+    # the batch at different ticks and the tail ticks run ragged — the
+    # continuous-batching case a fixed-batch design can't serve.
     wavs = {
-        seed: (0.1 * np.sin(2 * np.pi * (200 + 50 * seed) * t)).astype(
-            np.float32
-        )
+        seed: (0.1 * np.sin(
+            2 * np.pi * (200 + 50 * seed)
+            * np.arange(int((0.8 + 0.3 * seed) * cfg.sample_rate))
+            / cfg.sample_rate
+        )).astype(np.float32)
         for seed in (1, 2, 3)
     }
 
