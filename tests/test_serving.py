@@ -788,6 +788,55 @@ def test_tcp_longform_audio_stream(longform_server):
     assert 0 < pos <= wav.size
 
 
+def test_tcp_longform_concurrent_audio_streams(longform_server):
+    # Two audio=True streams at once: each handler thread vocodes its own
+    # increments (sliding Griffin-Lim windows) while the scheduler batches
+    # the mel refines underneath — both must deliver contiguous, finite
+    # waveform increments and the SAME waveform as a solo run of the same
+    # seed (vocoder keys derive from the request seed alone).
+    from edge_diffusion_tts_tpu.serving import request_longform
+
+    cfg, _, server = longform_server
+    host, port = server.server_address
+    kw = dict(
+        audio=True, steps=2, strength=0.3, cfg_scale=1.0,
+        griffin_lim_iters=4,
+    )
+    t = np.arange(int(1.0 * cfg.sample_rate)) / cfg.sample_rate
+    wavs = {
+        seed: (0.15 * np.sin(2 * np.pi * (210 + 90 * seed) * t)).astype(
+            np.float32
+        )
+        for seed in (31, 32)
+    }
+    results = {}
+
+    def run(seed):
+        segs = list(request_longform(
+            wavs[seed], host=host, port=port, seed=seed, **kw
+        ))
+        pos = 0
+        for seg, off in segs:
+            assert seg.ndim == 1 and off == pos and np.isfinite(seg).all()
+            pos += seg.shape[0]
+        results[seed] = np.concatenate([s for s, _ in segs])
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in wavs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert set(results) == set(wavs)
+
+    for seed, wav in wavs.items():
+        solo = np.concatenate([
+            s for s, _ in request_longform(
+                wav, host=host, port=port, seed=seed, **kw
+            )
+        ])
+        np.testing.assert_allclose(results[seed], solo, rtol=1e-5, atol=1e-6)
+
+
 def test_tcp_longform_unsupported_and_empty(longform_server):
     # A server without longform_fn rejects the request with a clean error;
     # an empty waveform is rejected by the handler.
