@@ -76,15 +76,81 @@ class HubertConfig:
 _gelu = partial(nn.gelu, approximate=False)  # HF "gelu" is erf-based
 
 
+def conv_frame_lengths(cfg: HubertConfig, length):
+    """Valid frame count after each conv layer for a true sample ``length``.
+
+    Works on Python ints or traced int scalars; returns the per-layer list
+    (element i = frames out of conv i; the last entry is the feature-frame
+    count the transformer sees)."""
+    out = []
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        length = (length - k) // s + 1
+        out.append(length)
+    return out
+
+
+class _MaskedGroupNorm(nn.Module):
+    """Per-channel instance norm over time with an optional valid length.
+
+    flax's ``nn.GroupNorm(num_groups=C)`` computes statistics over the WHOLE
+    time axis, so zero-padding a batched/bucketed input shifts every frame's
+    normalization (HF Hubert has the same flaw even WITH attention_mask —
+    its group-norm ignores the mask).  Passing ``length`` here computes the
+    statistics over the true frames only, making padded encodes exact.
+    Parameter names/shapes match ``nn.GroupNorm`` ("scale"/"bias" of [C])
+    so existing checkpoints and the torch converter are unaffected.
+    """
+
+    channels: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, length=None) -> jnp.ndarray:
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.channels,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.channels,), jnp.float32
+        )
+        x32 = x.astype(jnp.float32)
+        if length is None:
+            mean = jnp.mean(x32, axis=1, keepdims=True)
+            var = jnp.mean(
+                jnp.square(x32 - mean), axis=1, keepdims=True
+            )
+        else:
+            m = (
+                jnp.arange(x.shape[1])[None, :, None]
+                < jnp.asarray(length).reshape(-1, 1, 1)
+            ).astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(x32 * m, axis=1, keepdims=True) / cnt
+            var = jnp.sum(
+                jnp.square(x32 - mean) * m, axis=1, keepdims=True
+            ) / cnt
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class _FeatureExtractor(nn.Module):
-    """Strided conv stack: wav [B, T] -> features [B, frames, conv_dim[-1]]."""
+    """Strided conv stack: wav [B, T] -> features [B, frames, conv_dim[-1]].
+
+    ``wav_len`` (true sample count, int scalar or [B]) makes the group-norm
+    statistics ignore zero-padded tail samples; all convs are VALID, so
+    frames within the true length are then bit-identical to an exact-length
+    forward (the padding only appends extra frames)."""
 
     cfg: HubertConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, wav: jnp.ndarray, wav_len=None) -> jnp.ndarray:
         x = wav[:, :, None].astype(self.dtype)  # [B, T, 1]
+        l0 = (
+            None if wav_len is None
+            else conv_frame_lengths(self.cfg, jnp.asarray(wav_len))[0]
+        )
         for i, (dim, k, s) in enumerate(
             zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
         ):
@@ -100,9 +166,9 @@ class _FeatureExtractor(nn.Module):
             if i == 0:
                 # feat_extract_norm="group": GroupNorm(num_groups=dim) on the
                 # first layer only == per-channel instance norm over time.
-                x = nn.GroupNorm(
-                    num_groups=dim, epsilon=1e-5, dtype=self.dtype, name="group_norm"
-                )(x)
+                x = _MaskedGroupNorm(
+                    channels=dim, eps=1e-5, dtype=self.dtype, name="group_norm"
+                )(x, length=l0)
             x = _gelu(x)
         return x
 
@@ -137,7 +203,9 @@ class _EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, key_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
         B, T, H = x.shape
@@ -154,6 +222,13 @@ class _EncoderLayer(nn.Module):
             jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
             * scale
         )
+        if key_mask is not None:
+            # Padded keys get a bias so negative that exp underflows to
+            # exactly 0.0 in f32: valid-query rows then compute the same
+            # softmax sums as an exact-length forward.
+            logits = jnp.where(
+                key_mask[:, None, None, :], logits, jnp.float32(-1e30)
+            )
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H)
@@ -188,25 +263,49 @@ class HubertEncoder(nn.Module):
         wav: jnp.ndarray,
         output_hidden_states: bool = True,
         conv_feats: Optional[jnp.ndarray] = None,
+        wav_len=None,
     ) -> List[jnp.ndarray]:
         """``conv_feats`` bypasses the conv feature extractor with
         precomputed features (e.g. ops/fused_frontend.py's fused Pallas
         kernel); init always takes the in-module path so the extractor's
-        params exist either way."""
+        params exist either way.
+
+        ``wav_len`` (true sample count; int scalar or [B], static or traced)
+        makes a zero-padded forward EXACT up to float accumulation order
+        (~1e-6; tests/test_hubert.py): group-norm statistics ignore the
+        padded tail, padded feature positions are zeroed before the
+        positional conv (so its spill-in equals the same-padding zeros an
+        exact-length forward sees), and padded keys are masked out of every
+        attention softmax.  Frames at index >= the true frame count are
+        zeroed in every returned hidden state.  This is STRONGER than HF's
+        attention_mask, whose group-norm ignores the mask (outputs shift by
+        O(1) under padding); it is what makes compile-bounded
+        length-bucketed serving exact.
+        """
         c = self.cfg
         if conv_feats is None or self.is_initializing():
             # Called during init even when bypassed, purely to bind the
             # extractor's params so both apply paths share one tree.
             extracted = _FeatureExtractor(
                 c, dtype=self.dtype, name="feature_extractor"
-            )(wav)
+            )(wav, wav_len=wav_len)
         feats = conv_feats if conv_feats is not None else extracted
+
+        frame_mask = None
+        if wav_len is not None:
+            n_valid = conv_frame_lengths(c, jnp.asarray(wav_len))[-1]
+            frame_mask = (
+                jnp.arange(feats.shape[1])[None, :]
+                < jnp.reshape(n_valid, (-1, 1))
+            )
 
         # Feature projection: LN -> Linear(conv_dim[-1] -> hidden)
         h = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, name="fp_layer_norm"
         )(feats)
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fp_projection")(h)
+        if frame_mask is not None:
+            h = jnp.where(frame_mask[:, :, None], h, 0.0)
 
         pos = _PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(h)
         h = h + pos
@@ -214,21 +313,30 @@ class HubertEncoder(nn.Module):
             epsilon=c.layer_norm_eps, dtype=self.dtype, name="encoder_layer_norm"
         )(h)
 
-        hidden_states = [h]
+        def finalize(x):
+            if frame_mask is None:
+                return x
+            return jnp.where(frame_mask[:, :, None], x, 0.0)
+
+        hidden_states = [finalize(h)]
         for i in range(c.num_layers):
-            h = _EncoderLayer(c, dtype=self.dtype, name=f"layer_{i}")(h)
-            hidden_states.append(h)
+            h = _EncoderLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                h, key_mask=frame_mask
+            )
+            hidden_states.append(finalize(h))
         if output_hidden_states:
             return hidden_states
-        return [h]
+        return [hidden_states[-1]]
 
     def extract_layer(
         self, wav: jnp.ndarray, layer: int,
         conv_feats: Optional[jnp.ndarray] = None,
+        wav_len=None,
     ) -> jnp.ndarray:
         """Hidden state at HF index ``layer`` (9 = standard semantic layer)."""
         return self(
-            wav, output_hidden_states=True, conv_feats=conv_feats
+            wav, output_hidden_states=True, conv_feats=conv_feats,
+            wav_len=wav_len,
         )[layer]
 
 

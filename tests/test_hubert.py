@@ -36,6 +36,78 @@ def test_hidden_states_indexing():
     assert all(s.shape == states[0].shape for s in states)
 
 
+def test_masked_padded_forward_is_exact():
+    # wav_len makes a zero-padded forward equal to the exact-length forward
+    # on every valid frame: masked group-norm statistics, zeroed padded
+    # positions before the positional conv, and masked attention keys.
+    # (HF's attention_mask is NOT exact here — its group-norm ignores the
+    # mask — so this is a documented improvement, not a ported behavior.)
+    from edge_diffusion_tts_tpu.models.hubert import conv_frame_lengths
+
+    cfg = HubertConfig.tiny()
+    enc = HubertEncoder(cfg)
+    T = 1600
+    wav = jax.random.normal(jax.random.PRNGKey(3), (1, T))
+    params = enc.init(KEY, wav)
+
+    exact = enc.apply(params, wav)
+    n_valid = conv_frame_lengths(cfg, T)[-1]
+    assert exact[0].shape[1] == n_valid
+
+    for pad in (80, 400):
+        padded = enc.apply(
+            params, jnp.pad(wav, ((0, 0), (0, pad))), wav_len=T
+        )
+        for i, (a, b) in enumerate(zip(exact, padded)):
+            # "Exact" = up to float accumulation order: the two runs have
+            # different shapes, so XLA builds different reduction trees
+            # (measured ~1.5e-6 max abs across layers; the UNMASKED padded
+            # run is off by ~1.3 — six orders of magnitude).
+            np.testing.assert_allclose(
+                np.asarray(a),
+                np.asarray(b[:, :n_valid]),
+                rtol=1e-5,
+                atol=1e-5,
+                err_msg=f"hidden_states[{i}] pad={pad}",
+            )
+            # Padded frames are zeroed in every returned hidden state.
+            assert np.all(np.asarray(b[:, n_valid:]) == 0.0)
+
+    # Unmasked padded forward is NOT exact (group-norm stats shift): the
+    # mask is doing real work, not vacuously passing.
+    loose = enc.apply(params, jnp.pad(wav, ((0, 0), (0, 400))))
+    assert not np.allclose(
+        np.asarray(exact[-1]), np.asarray(loose[-1][:, :n_valid]), atol=1e-4
+    )
+
+
+def test_masked_forward_batched_lengths():
+    # Per-row wav_len: two utterances of different true lengths batched into
+    # one padded forward each match their own solo exact-length run.
+    from edge_diffusion_tts_tpu.models.hubert import conv_frame_lengths
+
+    cfg = HubertConfig.tiny()
+    enc = HubertEncoder(cfg)
+    lens = (1200, 1600)
+    wavs = [
+        jax.random.normal(jax.random.PRNGKey(10 + i), (1, L))
+        for i, L in enumerate(lens)
+    ]
+    params = enc.init(KEY, wavs[1])
+
+    batch = jnp.concatenate(
+        [jnp.pad(w, ((0, 0), (0, 1600 - w.shape[1]))) for w in wavs], axis=0
+    )
+    out = enc.apply(params, batch, wav_len=jnp.asarray(lens))[-1]
+    for i, (L, w) in enumerate(zip(lens, wavs)):
+        solo = enc.apply(params, w)[-1]
+        n = conv_frame_lengths(cfg, L)[-1]
+        np.testing.assert_allclose(
+            np.asarray(out[i : i + 1, :n]), np.asarray(solo),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 @pytest.fixture(scope="module")
 def torch_pair():
     import torch
