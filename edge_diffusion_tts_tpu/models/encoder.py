@@ -62,16 +62,20 @@ class SemanticEncoder(nn.Module):
             )
 
     def extract_hubert(
-        self, wav_16k: jnp.ndarray, conv_feats=None
+        self, wav_16k: jnp.ndarray, conv_feats=None, wav_len=None
     ) -> jnp.ndarray:
         """Frozen HuBERT hidden layer (cfg.hubert_layer, default 9).
 
         Clamped to the encoder depth so reduced test configs
         (HubertConfig.tiny) take their last layer.  ``conv_feats`` bypasses
-        the conv frontend (ops/fused_frontend.py fast path).
+        the conv frontend (ops/fused_frontend.py fast path).  ``wav_len``
+        makes zero-padded (length-bucketed) inputs exact — see
+        HubertEncoder.__call__.
         """
         layer = min(self.cfg.hubert_layer, self.hubert_cfg.num_layers)
-        h = self.hubert.extract_layer(wav_16k, layer, conv_feats=conv_feats)
+        h = self.hubert.extract_layer(
+            wav_16k, layer, conv_feats=conv_feats, wav_len=wav_len
+        )
         return jax.lax.stop_gradient(h)
 
     def _project(self, h: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -83,13 +87,35 @@ class SemanticEncoder(nn.Module):
         return self.proj_fc2(z)
 
     def __call__(
-        self, wav_16k: jnp.ndarray, train: bool = False, deterministic: bool = True
+        self,
+        wav_16k: jnp.ndarray,
+        train: bool = False,
+        deterministic: bool = True,
+        wav_len=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        h = self.extract_hubert(wav_16k)
+        """``wav_len`` (true sample count) makes zero-padded length-bucketed
+        inputs exact: the HuBERT forward masks the padded tail (see
+        HubertEncoder), and the quantized features/indices at padded frame
+        positions are zeroed here — the projection of a zeroed hidden state
+        is NOT zero (biases), and downstream consumers (e.g. the long-form
+        pipeline) zero-pad exact-length features, so padded rows must be 0
+        to match bit for bit."""
+        h = self.extract_hubert(wav_16k, wav_len=wav_len)
         z = self._project(h, deterministic)
-        if self.cfg.use_fsq:
-            return self.vq(z)
-        return self.vq(z, train=train)
+        out = self.vq(z) if self.cfg.use_fsq else self.vq(z, train=train)
+        if wav_len is None:
+            return out
+        from .hubert import conv_frame_lengths
+
+        n_valid = conv_frame_lengths(self.hubert_cfg, jnp.asarray(wav_len))[-1]
+        mask = (
+            jnp.arange(h.shape[1])[None, :]
+            < jnp.reshape(n_valid, (-1, 1))
+        )
+        z_q, idx, vq_loss, ppl, used = out
+        z_q = jnp.where(mask[:, :, None], z_q, 0.0)
+        idx = jnp.where(mask, idx, 0)
+        return z_q, idx, vq_loss, ppl, used
 
     def from_features(
         self, feats: jnp.ndarray, train: bool = False, deterministic: bool = True

@@ -108,6 +108,41 @@ def test_masked_forward_batched_lengths():
         )
 
 
+def test_semantic_encoder_masked_matches_exact():
+    # wav_len threads end-to-end through SemanticEncoder: a padded encode
+    # equals the exact-length encode on valid frames, and the quantized
+    # features/indices at padded positions are exactly zero (matching how
+    # downstream consumers zero-pad exact-length features).
+    from edge_diffusion_tts_tpu.config import CFG
+    from edge_diffusion_tts_tpu.models import SemanticEncoder
+    from edge_diffusion_tts_tpu.models.hubert import conv_frame_lengths
+
+    cfg = CFG(hidden=32, layers=1, heads=2, use_fsq=True,
+              out_dir="/tmp/edt_test_runs")
+    hc = HubertConfig.tiny()
+    enc = SemanticEncoder(cfg, hc)
+    T = 1600
+    wav = 0.2 * jax.random.normal(jax.random.PRNGKey(8), (1, T))
+    variables = enc.init(
+        {"params": KEY, "dropout": KEY, "vq": KEY}, wav, train=False
+    )
+
+    z_exact, idx_exact, *_ = enc.apply(variables, wav, train=False)
+    n = conv_frame_lengths(hc, T)[-1]
+    z_pad, idx_pad, *_ = enc.apply(
+        variables, jnp.pad(wav, ((0, 0), (0, 480))), train=False, wav_len=T
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_pad[:, :n]), np.asarray(z_exact), rtol=1e-5, atol=1e-5
+    )
+    # FSQ levels are coarse, so ~1e-6 feature noise almost never flips a
+    # quantization bin — but "almost" is not "never"; allow a stray flip.
+    flips = int((np.asarray(idx_pad[:, :n]) != np.asarray(idx_exact)).sum())
+    assert flips <= max(1, n // 50)
+    assert np.all(np.asarray(z_pad[:, n:]) == 0.0)
+    assert np.all(np.asarray(idx_pad[:, n:]) == 0)
+
+
 @pytest.fixture(scope="module")
 def torch_pair():
     import torch
