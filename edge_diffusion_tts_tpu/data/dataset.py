@@ -30,6 +30,16 @@ def ensure_ljspeech(root: str) -> str:
     return root
 
 
+def resolve_ljspeech_dir(ljspeech_dir: str, data_root: str) -> str:
+    """An existing ``cfg.ljspeech_dir`` wins; otherwise derive the dataset
+    location from ``cfg.data_root`` the way the reference does
+    (reference train.py:54: ``ensure_ljspeech(cfg.data_root)`` appends
+    LJSpeech-1.1), raising with download instructions when absent."""
+    if os.path.isdir(ljspeech_dir):
+        return ljspeech_dir
+    return ensure_ljspeech(os.path.join(data_root, "LJSpeech-1.1"))
+
+
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 mono waveform in [-1, 1], sample_rate)."""
     from scipy.io import wavfile

@@ -22,6 +22,13 @@ class DataLoader:
     ``prefetch`` > 0 runs reading+collation in a daemon thread with a bounded
     queue.  Epoch shuffling is deterministic given ``seed`` (epoch index is
     folded in, so each epoch gets a fresh order).
+
+    ``pin_memory`` (cfg.pin_memory; reference train.py:63 passes it to the
+    torch DataLoader) maps to the TPU analog of pinned-host async H2D: the
+    producer thread eagerly ``jax.device_put``s each collated batch, so the
+    transfer overlaps the previous step's compute instead of riding the
+    dispatch of the jitted step.  Values are unchanged (tested); keep it off
+    when a mesh will reshard batches anyway.
     """
 
     def __init__(
@@ -33,6 +40,7 @@ class DataLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        pin_memory: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -41,7 +49,16 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.pin_memory = pin_memory
         self.epoch = 0
+
+    def _collate(self, items):
+        batch = self.collate(items)
+        if self.pin_memory:
+            import jax
+
+            batch = jax.device_put(batch)
+        return batch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -76,7 +93,7 @@ class DataLoader:
                 if stop.is_set():
                     return
                 items = [self.dataset[int(i)] for i in idx]
-                if not put(self.collate(items)):
+                if not put(self._collate(items)):
                     return
             put(None)
         except BaseException as e:  # surface reader errors in the consumer
@@ -86,7 +103,7 @@ class DataLoader:
         self.epoch += 1
         if self.prefetch <= 0:
             for idx in self._batch_indices():
-                yield self.collate([self.dataset[int(i)] for i in idx])
+                yield self._collate([self.dataset[int(i)] for i in idx])
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -220,18 +220,26 @@ def train(
 
     if train_loader is None:
         from ..data import Collate, DataLoader, LJSpeechDataset
+        from ..data.dataset import resolve_ljspeech_dir
 
+        lj_dir = resolve_ljspeech_dir(cfg.ljspeech_dir, cfg.data_root)
+        # pin_memory (reference train.py:63): eager H2D in the prefetch
+        # thread — only useful when batches land on one device as-is, so
+        # skip it when a mesh will reshard them.
+        pin = cfg.pin_memory and not cfg.mesh_shape
         train_loader = DataLoader(
-            LJSpeechDataset(cfg.ljspeech_dir, "train"),
+            LJSpeechDataset(lj_dir, "train"),
             cfg.batch_size,
             Collate(cfg, seed=cfg.seed),
             seed=cfg.seed,
+            pin_memory=pin,
         )
         val_loader = DataLoader(
-            LJSpeechDataset(cfg.ljspeech_dir, "val"),
+            LJSpeechDataset(lj_dir, "val"),
             cfg.batch_size,
             Collate(cfg, deterministic=True),
             shuffle=False,
+            pin_memory=pin,
         )
 
     rng, k_init = jax.random.split(rng)

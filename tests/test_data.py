@@ -105,6 +105,44 @@ def test_collate_precomputed_alignment():
     )
 
 
+def test_resolve_ljspeech_dir(mini_ljspeech, tmp_path):
+    """Explicit existing dir wins; otherwise fall back to data_root/LJSpeech-1.1
+    (reference train.py:54); raise with instructions when neither exists."""
+    import pytest
+
+    from edge_diffusion_tts_tpu.data.dataset import resolve_ljspeech_dir
+
+    assert resolve_ljspeech_dir(str(mini_ljspeech), "/nonexistent") == str(
+        mini_ljspeech
+    )
+    root = tmp_path / "data"
+    root.mkdir()
+    (root / "LJSpeech-1.1").symlink_to(mini_ljspeech)
+    got = resolve_ljspeech_dir(str(tmp_path / "missing"), str(root))
+    assert got == str(root / "LJSpeech-1.1")
+    with pytest.raises(FileNotFoundError):
+        resolve_ljspeech_dir(str(tmp_path / "missing"), str(tmp_path / "also"))
+
+
+def test_loader_pin_memory_device_put(mini_ljspeech):
+    """pin_memory=True (cfg.pin_memory, reference train.py:63) must yield
+    already-on-device batches with values identical to the plain path."""
+    import jax
+
+    cfg = CFG(segment_secs=0.25)
+    ds = LJSpeechDataset(mini_ljspeech, "train")
+    plain = DataLoader(
+        ds, batch_size=4, collate=Collate(cfg), shuffle=False, seed=7
+    )
+    pinned = DataLoader(
+        ds, batch_size=4, collate=Collate(cfg), shuffle=False, seed=7,
+        pin_memory=True,
+    )
+    for a, b in zip(plain, pinned):
+        assert isinstance(b["wav"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(a["wav"]), np.asarray(b["wav"]))
+
+
 def test_loader_abandoned_iteration_releases_producer():
     """Breaking out of a prefetching DataLoader epoch (what every validation
     loop does after val_batches batches) must release the producer thread
