@@ -45,3 +45,32 @@ def test_set_seed_returns_key():
     cfg = CFG()
     key = cfg.setup_environment()
     assert isinstance(key, jax.Array)
+
+
+def test_no_dead_cfg_fields():
+    """Every CFG field must be consumed somewhere outside config.py.
+
+    The reference carries torch-specific knobs it never reads on some paths;
+    this framework's standard (enforced since round 1) is that every config
+    field is wired or deleted.  Guards against regressions when new fields
+    land."""
+    import dataclasses
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sources = []
+    for pat in (
+        "edge_diffusion_tts_tpu/**/*.py",
+        "bench*.py",
+        "__graft_entry__.py",
+        "tools/*.py",
+    ):
+        sources += [p for p in root.glob(pat) if p.name != "config.py"]
+    blob = "\n".join(p.read_text() for p in sources)
+    dead = [
+        f.name
+        for f in dataclasses.fields(CFG)
+        if not re.search(rf"\b{re.escape(f.name)}\b", blob)
+    ]
+    assert not dead, f"CFG fields consumed by nothing: {dead}"
