@@ -127,6 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="long-form chunk length (with --longform)")
     sv.add_argument("--overlap-seconds", type=float, default=0.5,
                     help="long-form chunk overlap (with --longform)")
+    sv.add_argument("--longform-prep-buckets", type=str, default="8,16,32,64",
+                    help="comma-separated SECONDS the long-form stream prep "
+                         "pads to (one compiled program per bucket instead "
+                         "of one per wav length; exact via the masked "
+                         "HuBERT forward). Empty string disables bucketing")
 
     mg = sub.add_parser(
         "migrate", help="convert a PyTorch-reference .pt checkpoint"
@@ -242,8 +247,8 @@ def main(argv=None):
             params["decoder"],
             # encoder_variables threads the saved VQ codebook (vq_state)
             # for use_fsq=False checkpoints.
-            encoder_apply=lambda variables, w: encoder.apply(
-                variables, w, train=False
+            encoder_apply=lambda variables, w, **kw: encoder.apply(
+                variables, w, train=False, **kw
             )[0],
             encoder_params=encoder_variables(params),
         )
@@ -320,6 +325,9 @@ def main(argv=None):
                 longform_streams=args.longform_streams,
                 chunk_seconds=args.chunk_seconds,
                 overlap_seconds=args.overlap_seconds,
+                longform_prep_buckets=tuple(
+                    float(s) for s in args.longform_prep_buckets.split(",") if s
+                ),
             )
         except ValueError as e:
             raise SystemExit(str(e))

@@ -50,6 +50,7 @@ class LongFormPipeline:
         chunk_seconds: float = 2.0,
         overlap_seconds: float = 0.5,
         mesh=None,
+        prep_buckets=None,
     ):
         self.cfg = cfg
         self.schedule = schedule
@@ -79,6 +80,19 @@ class LongFormPipeline:
         self.chunk_frames = self.chunk_samples // cfg.hop_length + 1
         self.overlap_frames = self.overlap_samples // cfg.hop_length + 1
         self.hop_frames = self.chunk_frames - self.overlap_frames
+        # Optional compile-bounding for stream_prep: sample-count buckets
+        # (sorted ascending).  When set, every stream's prep pads its wav to
+        # the smallest bucket >= its length and runs ONE program per BUCKET
+        # (instead of one per distinct wav length — an unbounded compile
+        # surface under real serving traffic).  Exactness comes from the
+        # masked HuBERT forward (models/hubert.py wav_len): the encode of a
+        # bucket-padded wav equals the exact-length encode up to float
+        # accumulation order (~1e-6); chunk stats and the PRNG chain are
+        # row-identical by construction.  Requires encoder_apply to accept
+        # a ``wav_len`` kwarg (SemanticEncoder does).
+        self.prep_buckets = (
+            tuple(sorted(int(b) for b in prep_buckets)) if prep_buckets else None
+        )
         self._refine_jit = {}
 
     @property
@@ -339,39 +353,75 @@ class LongFormPipeline:
 
         One dispatch + one fetch per submit instead of three of each —
         through a tunneled chip each dispatch is ~30 ms, and submit latency
-        is the time-to-first-increment floor for a new stream.  Re-traces
-        per wav length (N and the pads are shape-derived).
+        is the time-to-first-increment floor for a new stream.  Without
+        ``prep_buckets`` the program re-traces per wav length (N and the
+        pads are shape-derived); with buckets (see __init__) it compiles
+        once per BUCKET: the wav is zero-padded to the bucket, the true
+        length rides in as a traced scalar (``wav_len`` -> masked HuBERT
+        forward, exact to accumulation order), and the host keeps only the
+        stream's true chunk rows.
         """
         if self.encoder_apply is None:
             raise ValueError("pipeline constructed without an encoder")
+
+        def prep(enc_params, wav, rng, wav_len=None):
+            total = wav.shape[1]
+            n = max(
+                1,
+                -(-(total - self.overlap_samples) // self.hop_samples),
+            )
+            pad320 = (320 - total % 320) % 320
+            wav_320 = jnp.pad(wav, ((0, 0), (0, pad320)))
+            if wav_len is None:
+                z = self.encoder_apply(enc_params, wav_320)
+            else:
+                z = self.encoder_apply(enc_params, wav_320, wav_len=wav_len)
+            cs, hop = self.chunk_samples, self.hop_samples
+            padded = jnp.pad(
+                wav[0], (0, max(0, (n - 1) * hop + cs - total))
+            )
+            idx = (jnp.arange(n) * hop)[:, None] + jnp.arange(cs)[None, :]
+            chunks = padded[idx]
+            _, mean, std = normalize_mel(self.mel_frontend(chunks))
+
+            def body(r, _):
+                r, kn, kr = jax.random.split(r, 3)
+                return r, (kn, kr)
+
+            _, (kns, krs) = jax.lax.scan(body, rng, None, length=n)
+            return z, mean, std, kns, krs
+
+        total = int(np.asarray(wav).shape[1])
+        if self.prep_buckets:
+            pad_to = next((b for b in self.prep_buckets if b >= total), None)
+            if pad_to is None:
+                raise ValueError(
+                    f"stream of {total} samples exceeds the largest prep "
+                    f"bucket {self.prep_buckets[-1]}"
+                )
+            n_true = max(
+                1, -(-(total - self.overlap_samples) // self.hop_samples)
+            )
+            # The unbucketed path encodes the wav padded up to x320; pass
+            # that length as the mask boundary so both paths see the same
+            # effective input.
+            enc_len = total + (320 - total % 320) % 320
+            if not hasattr(self, "_prep_bucket_jit"):
+                self._prep_bucket_jit = jax.jit(
+                    lambda p, w, r, L: prep(p, w, r, wav_len=L)
+                )
+            wav_b = np.zeros((1, pad_to), np.float32)
+            wav_b[:, :total] = np.asarray(wav)
+            z, mean, std, kns, krs = jax.device_get(
+                self._prep_bucket_jit(
+                    self.encoder_params, jnp.asarray(wav_b), rng,
+                    jnp.int32(enc_len),
+                )
+            )
+            return z, mean[:n_true], std[:n_true], kns[:n_true], krs[:n_true]
+
         if not hasattr(self, "_prep_jit"):
-            @jax.jit
-            def prep(enc_params, wav, rng):
-                total = wav.shape[1]
-                n = max(
-                    1,
-                    -(-(total - self.overlap_samples) // self.hop_samples),
-                )
-                pad320 = (320 - total % 320) % 320
-                z = self.encoder_apply(
-                    enc_params, jnp.pad(wav, ((0, 0), (0, pad320)))
-                )
-                cs, hop = self.chunk_samples, self.hop_samples
-                padded = jnp.pad(
-                    wav[0], (0, max(0, (n - 1) * hop + cs - total))
-                )
-                idx = (jnp.arange(n) * hop)[:, None] + jnp.arange(cs)[None, :]
-                chunks = padded[idx]
-                _, mean, std = normalize_mel(self.mel_frontend(chunks))
-
-                def body(r, _):
-                    r, kn, kr = jax.random.split(r, 3)
-                    return r, (kn, kr)
-
-                _, (kns, krs) = jax.lax.scan(body, rng, None, length=n)
-                return z, mean, std, kns, krs
-
-            self._prep_jit = prep
+            self._prep_jit = jax.jit(prep)
         return jax.device_get(
             self._prep_jit(self.encoder_params, jnp.asarray(wav), rng)
         )

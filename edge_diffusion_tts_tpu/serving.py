@@ -736,6 +736,7 @@ def run_server(
     longform_streams: int = 4,
     chunk_seconds: float = 2.0,
     overlap_seconds: float = 0.5,
+    longform_prep_buckets: Sequence[float] = (8.0, 16.0, 32.0, 64.0),
 ):
     """Checkpoint -> warmed MicroBatcher + live TCP server (CLI ``serve``).
 
@@ -854,13 +855,20 @@ def run_server(
             schedule,
             lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
             params["decoder"],
-            encoder_apply=lambda variables, w: encoder.apply(
-                variables, w, train=False
+            encoder_apply=lambda variables, w, **kw: encoder.apply(
+                variables, w, train=False, **kw
             )[0],
             encoder_params=encoder_variables(params),
             chunk_seconds=chunk_seconds,
             overlap_seconds=overlap_seconds,
             mesh=lf_mesh,
+            # Compile-bounded stream prep: one program per length bucket
+            # instead of one per distinct wav length (unbounded under real
+            # traffic; each lazy compile through the tunnel stalls ~seconds
+            # to minutes).  Exact via the masked HuBERT forward.
+            prep_buckets=[
+                int(s * cfg.sample_rate) for s in longform_prep_buckets
+            ] if longform_prep_buckets else None,
         )
         longform_fn = make_longform_fn(pipe, max_streams=longform_streams)
 
@@ -885,6 +893,13 @@ def run_server(
             longform_fn.scheduler.warmup()
             say("serve: long-form refine programs compiled "
                 f"(rows up to {longform_streams})")
+            for b in pipe.prep_buckets or ():
+                # One stream-prep program per length bucket (the encoder
+                # compile dominates; lazily it would stall a live submit).
+                pipe.stream_prep(
+                    np.zeros((1, b), np.float32), jax.random.PRNGKey(0)
+                )
+                say(f"serve: long-form prep bucket {b} compiled")
     server = serve_tcp(batcher, host=host, port=port, longform_fn=longform_fn)
     say(
         f"serving on {server.server_address[0]}:{server.server_address[1]} "

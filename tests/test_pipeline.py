@@ -445,3 +445,103 @@ def test_streaming_audio_mel_equivalence(tiny_pipeline):
     err_stream = reanalysis_err(stream)
     err_offline = reanalysis_err(np.asarray(offline_wav))
     assert err_stream < 1.5 * err_offline + 0.1, (err_stream, err_offline)
+
+
+@pytest.fixture(scope="module")
+def bucketed_pipes():
+    """Two pipes sharing ONE real tiny SemanticEncoder + decoder: one with
+    prep_buckets, one without — the wav_len masked-encode path must do real
+    work, so the fake zeros-encoder fixture won't do."""
+    from edge_diffusion_tts_tpu.models import HubertConfig, SemanticEncoder
+
+    cfg = CFG(hidden=32, layers=1, heads=2, diff_steps=50, dropout=0.0,
+              use_fsq=True, out_dir="/tmp/edt_test_runs")
+    hc = HubertConfig.tiny()
+    enc = SemanticEncoder(cfg, hc)
+    key = jax.random.PRNGKey(0)
+    variables = enc.init(
+        {"params": key, "dropout": key, "vq": key},
+        jnp.zeros((1, 3200)), train=False,
+    )
+    decoder = EdgeDiffusionDecoder(cfg)
+    dec_params = init_decoder_params(decoder, key, cfg)["params"]
+    # Zero-init heads make a fresh decoder output exactly 0 regardless of
+    # conditioning; perturb so the refine actually responds to z.
+    leaves = jax.tree_util.tree_leaves_with_path(dec_params)
+    dec_params = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(dec_params),
+        [
+            l + 0.02 * jax.random.normal(jax.random.fold_in(key, i), l.shape)
+            for i, (_, l) in enumerate(leaves)
+        ],
+    )
+    schedule = DiffusionSchedule.create(cfg.diff_steps)
+
+    def encoder_apply(v, w, **kw):
+        return enc.apply(v, w, train=False, **kw)[0]
+
+    def mk(buckets):
+        return LongFormPipeline(
+            cfg, schedule,
+            lambda p, x, t, **kw: decoder.apply({"params": p}, x, t, **kw),
+            dec_params,
+            encoder_apply=encoder_apply, encoder_params=variables,
+            chunk_seconds=0.5, overlap_seconds=0.125,
+            prep_buckets=buckets,
+        )
+
+    sr = cfg.sample_rate
+    return cfg, mk(None), mk((int(0.8 * sr), int(1.6 * sr)))
+
+
+def test_stream_prep_bucketed_matches_exact(bucketed_pipes):
+    # Bucketed prep (wav padded to the bucket + traced wav_len through the
+    # masked HuBERT forward) row-matches the per-length exact program: PRNG
+    # chain bit-equal, chunk stats bit-equal, features equal to float
+    # accumulation order; padded semantic frames are zeroed.
+    cfg, pipe, pipe_b = bucketed_pipes
+    rng = jax.random.PRNGKey(7)
+    for secs in (0.7, 1.3):
+        T = int(secs * cfg.sample_rate)
+        wav = (0.2 * np.sin(
+            2 * np.pi * 220 * np.arange(T) / cfg.sample_rate
+        )).astype(np.float32).reshape(1, -1)
+        z, mean, std, kns, krs = pipe.stream_prep(wav, rng)
+        zb, mean_b, std_b, kns_b, krs_b = pipe_b.stream_prep(wav, rng)
+        assert mean_b.shape == mean.shape  # host slicing to true chunk count
+        np.testing.assert_array_equal(kns_b, kns)
+        np.testing.assert_array_equal(krs_b, krs)
+        np.testing.assert_allclose(mean_b, mean, rtol=1e-6)
+        np.testing.assert_allclose(std_b, std, rtol=1e-6)
+        S = z.shape[1]
+        np.testing.assert_allclose(
+            zb[:, :S], z, rtol=1e-4, atol=1e-5
+        )
+        assert np.all(zb[:, S:] == 0.0)
+    # Both lengths hit a bucket: exactly the compiled bucket shapes exist,
+    # not one program per wav length.
+    assert pipe_b._prep_bucket_jit._cache_size() == 2
+
+
+def test_generate_streaming_bucketed_matches_exact(bucketed_pipes):
+    # End to end through ChunkStream: a bucketed pipe streams the same mel
+    # increments as the per-length pipe (up to the encode's accumulation
+    # -order noise through the refine).
+    cfg, pipe, pipe_b = bucketed_pipes
+    T = int(0.7 * cfg.sample_rate)
+    wav = (0.2 * np.sin(
+        2 * np.pi * 330 * np.arange(T) / cfg.sample_rate
+    )).astype(np.float32)
+    kw = dict(steps=2, strength=0.4, cfg_scale=1.0)
+    a = list(pipe.generate_streaming(wav, rng=jax.random.PRNGKey(3), **kw))
+    b = list(pipe_b.generate_streaming(wav, rng=jax.random.PRNGKey(3), **kw))
+    assert [off for _, off in a] == [off for _, off in b]
+    for (sa, _), (sb, _) in zip(a, b):
+        np.testing.assert_allclose(sa, sb, rtol=2e-3, atol=2e-4)
+
+
+def test_stream_prep_oversize_raises(bucketed_pipes):
+    cfg, _, pipe_b = bucketed_pipes
+    wav = np.zeros((1, int(2.0 * cfg.sample_rate)), np.float32)
+    with pytest.raises(ValueError, match="exceeds the largest prep bucket"):
+        pipe_b.stream_prep(wav, jax.random.PRNGKey(0))

@@ -412,7 +412,9 @@ def longform_server():
     decoder = EdgeDiffusionDecoder(cfg)
     params = init_decoder_params(decoder, KEY, cfg)["params"]
 
-    def encoder_apply(_, wav):
+    def encoder_apply(_, wav, **kw):
+        # Fake encoder: accepts (and can ignore) wav_len — its output is
+        # all-zero, so masking padded frames changes nothing.
         S = wav.shape[-1] // 320
         return jnp.zeros((wav.shape[0], S, cfg.semantic_dim), jnp.float32)
 
@@ -425,6 +427,12 @@ def longform_server():
         encoder_params={},
         chunk_seconds=0.5,
         overlap_seconds=0.125,
+        # One shared prep program for every stream length: the FIRST submit
+        # compiles it, later submits are host-pad + run — which also keeps
+        # the matches_solo interleaving assertions robust under CPU
+        # contention (per-length prep compiles made streams arrive serially,
+        # so ticks degenerated to one row each).
+        prep_buckets=(2 * cfg.sample_rate,),
     )
     mb = MicroBatcher(_fake_generate, buckets=(8,), max_batch=2,
                       max_wait_ms=10.0)
