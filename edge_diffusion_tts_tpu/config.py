@@ -86,7 +86,12 @@ class CFG:
     orig_sr: int = 22050
     segment_secs: float = 2.0
     segment_len: int = 32000  # derived in __post_init__
-    num_workers: int = 0
+    # Read+collate worker threads in the DataLoader (data/loader.py): 0 =
+    # synchronous in-consumer loading (the reference's MPS-safe default,
+    # config.py:82 — an IPC concern threads don't share), 1 = one prefetch
+    # thread (our default: overlap host collation with device compute),
+    # >1 = order-preserving thread pool.
+    num_workers: int = 1
     pin_memory: bool = False
 
     # ===== MEL SPECTROGRAM =====
@@ -111,7 +116,12 @@ class CFG:
     layers: int = 4
     heads: int = 4
     ffn_mult: int = 2
-    use_depthwise: bool = True
+    # Residual depthwise-separable conv pre-net on the decoder's projected
+    # mel sequence (models/decoder.py).  The reference declares this True
+    # but nothing consumes it (SURVEY quirks); here it is WIRED and defaults
+    # OFF so architecture/weights match the reference decoder exactly
+    # (PARITY.md deviations).
+    use_depthwise: bool = False
     # Allow the Pallas banded-attention kernel for windowed self-attention.
     # The kernel only engages when the mel sequence length reaches
     # pallas_min_seq_len — below that the XLA masked-SDPA path is measured
@@ -182,6 +192,11 @@ class CFG:
     grad_clip: float = 1.0
     cfg_dropout: float = 0.1  # classifier-free-guidance conditioning dropout
     warmup_frac: float = 0.05  # cosine-LR linear warmup fraction
+    # >1 chains that many optimizer steps into ONE device dispatch
+    # (lax.scan with on-device corpus gathering, Trainer.make_chained_step).
+    # Amortizes the ~30 ms/dispatch tunnel overhead; requires an in-memory
+    # fixed-segment corpus loader (exposing .wavs) and no mesh/pipeline.
+    steps_per_dispatch: int = 1
 
     # ===== TPU / PARALLELISM =====
     compute_dtype: str = "float32"  # "bfloat16" runs module matmuls in bf16

@@ -179,8 +179,19 @@ class Trainer:
             drop = jax.random.bernoulli(k_cfgdrop, cfg.cfg_dropout, (B, 1, 1))
             z_q = jnp.where(drop, 0.0, z_q)
 
-            t = jax.random.randint(k_t, (B,), 1, cfg.max_timestep)
-            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            # Deterministic replay: a batch may carry explicit "t"/"noise"
+            # draws so the objective can be evaluated on EXACTLY the same
+            # randomness as the torch reference (tests/test_parity_training.py).
+            t = (
+                batch["t"]
+                if "t" in batch
+                else jax.random.randint(k_t, (B,), 1, cfg.max_timestep)
+            )
+            noise = (
+                batch["noise"]
+                if "noise" in batch
+                else jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            )
             x_t, _ = schedule.q_sample(mel_n, t, noise)
             step_idx = jnp.zeros((B,), jnp.int32)
 
@@ -270,9 +281,18 @@ class Trainer:
                 params, vq_state, batch, k_enc, train=True
             )
 
-            step_indices = jax.random.randint(k_i, (B,), 0, num_steps)
+            # Deterministic replay (see make_diffusion_loss).
+            step_indices = (
+                batch["step_indices"]
+                if "step_indices" in batch
+                else jax.random.randint(k_i, (B,), 0, num_steps)
+            )
             t = (step_indices + 1) * stride - 1
-            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            noise = (
+                batch["noise"]
+                if "noise" in batch
+                else jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            )
             x_t, _ = schedule.q_sample(mel_n, t, noise)
 
             v_student = self._decode(
@@ -458,9 +478,22 @@ class Trainer:
                 params, vq_state, batch, k_enc, train=True
             )
 
-            t1 = jax.random.randint(k_t1, (B,), 1, cfg.diff_steps)
-            t2 = jax.random.randint(k_t2, (B,), 1, cfg.diff_steps)
-            noise = jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            # Deterministic replay (see make_diffusion_loss).
+            t1 = (
+                batch["t1"]
+                if "t1" in batch
+                else jax.random.randint(k_t1, (B,), 1, cfg.diff_steps)
+            )
+            t2 = (
+                batch["t2"]
+                if "t2" in batch
+                else jax.random.randint(k_t2, (B,), 1, cfg.diff_steps)
+            )
+            noise = (
+                batch["noise"]
+                if "noise" in batch
+                else jax.random.normal(k_noise, mel_n.shape, mel_n.dtype)
+            )
             x_t1, _ = schedule.q_sample(mel_n, t1, noise)
             x_t2, _ = schedule.q_sample(mel_n, t2, noise)
             step_idx = jnp.zeros((B,), jnp.int32)
@@ -630,6 +663,117 @@ class Trainer:
             )
 
         return step
+
+    # -- chained multi-step dispatch ------------------------------------------
+
+    def make_chained_step(
+        self,
+        kind: str = "diffusion",
+        num_steps: Optional[int] = None,
+        vq_weight: Optional[float] = None,
+        ema_decay: float = 0.999,
+        exact: bool = False,
+        consistency_weight: float = 1.0,
+    ) -> Callable:
+        """K optimizer steps per device dispatch, as ONE jitted program.
+
+        Through the tunnel every dispatch costs ~30 ms regardless of program
+        size, so the one-dispatch-per-step driver realizes ~3% of the benched
+        step rate (TRAIN_r03: 38 utt/s wall vs 1,283 utt/s device).  This is
+        the trainer-side ChunkStream lesson: `lax.scan` over K steps with
+        ON-DEVICE corpus row gathering, one launch, one D2H metrics fetch.
+
+        Returned signature::
+
+            (state, corpus, idx, rng) -> (state, stacked_metrics)
+
+        - ``corpus``: dict of [N, ...] arrays resident in HBM (e.g.
+          {"wav": [N, segment_len]}); leaves are gathered rows per step.
+          Passed as an ARGUMENT, not a capture (big captures become HLO
+          constants and blow the tunnel's compile-body limit).
+        - ``idx``: [K, B] int32 row indices (K = chain length is read from
+          the shape; one compile per distinct K).
+        - ``stacked_metrics``: the per-step metric tree with a leading [K]
+          axis — fetch once per dispatch.
+
+        ``kind`` selects the phase objective ("diffusion" / "progressive" /
+        "consistency") with the same knobs as the single-step factories.  A
+        teacher left in the state by an earlier phase rides through the carry
+        untouched unless this phase's objective EMA-updates it (progressive,
+        exact consistency).
+        """
+        if kind == "diffusion":
+            loss_fn = self.make_diffusion_loss(vq_weight)
+            takes_teacher, ema = False, False
+        elif kind == "progressive":
+            if num_steps is None:
+                raise ValueError("progressive chaining needs num_steps")
+            w = vq_weight if vq_weight is not None else 0.05
+            loss_fn = (
+                self.make_pd_two_step_loss(num_steps, w)
+                if exact
+                else self.make_progressive_loss(num_steps, w)
+            )
+            takes_teacher, ema = True, True
+        elif kind == "consistency":
+            w = vq_weight if vq_weight is not None else 0.05
+            if exact:
+                loss_fn = self.make_consistency_exact_loss(
+                    w, consistency_weight=consistency_weight
+                )
+                takes_teacher, ema = True, True
+            else:
+                loss_fn = self.make_consistency_loss(
+                    w, consistency_weight=consistency_weight
+                )
+                takes_teacher, ema = False, False
+        else:
+            raise ValueError(f"unknown chained kind {kind!r}")
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def chained(state: TrainState, corpus, idx, rng):
+            rngs = jax.random.split(rng, idx.shape[0])
+
+            def body(st, xs):
+                row_idx, sub = xs
+                batch = jax.tree.map(
+                    lambda a: jnp.take(a, row_idx, axis=0), corpus
+                )
+                if takes_teacher:
+                    grads, (new_vq, metrics) = jax.grad(
+                        loss_fn, has_aux=True
+                    )(st.params, st.teacher, st.vq_state, batch, sub)
+                else:
+                    grads, (new_vq, metrics) = jax.grad(
+                        loss_fn, has_aux=True
+                    )(st.params, st.vq_state, batch, sub)
+                updates, new_opt = self.tx.update(
+                    grads, st.opt_state, st.params
+                )
+                new_params = jax.tree.map(
+                    lambda p, u: p + u.astype(p.dtype), st.params, updates
+                )
+                new_teacher = st.teacher
+                if ema and st.teacher is not None:
+                    new_teacher = ema_update(
+                        st.teacher, new_params["decoder"],
+                        self._teacher_decay(new_opt, ema_decay),
+                    )
+                metrics["grad_norm"] = optax.global_norm(grads)
+                return (
+                    st.replace(
+                        step=st.step + 1,
+                        params=new_params,
+                        vq_state=new_vq,
+                        opt_state=new_opt,
+                        teacher=new_teacher,
+                    ),
+                    metrics,
+                )
+
+            return jax.lax.scan(body, state, (idx, rngs))
+
+        return chained
 
     # -- validation ----------------------------------------------------------
 

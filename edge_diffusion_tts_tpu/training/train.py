@@ -191,6 +191,9 @@ def make_visualization_hook(
 
         visualize_generation(gen, mel_n[0], step, run_dir, steps_list=steps_list)
 
+    # Cadence metadata for the chained-dispatch driver: steps advance K at a
+    # time there, so crossing detection replaces the per-step modulo.
+    hook.every = cfg.plot_every_steps
     return hook
 
 
@@ -233,6 +236,7 @@ def train(
             Collate(cfg, seed=cfg.seed),
             seed=cfg.seed,
             pin_memory=pin,
+            workers=cfg.num_workers,
         )
         val_loader = DataLoader(
             LJSpeechDataset(lj_dir, "val"),
@@ -240,6 +244,7 @@ def train(
             Collate(cfg, deterministic=True),
             shuffle=False,
             pin_memory=pin,
+            workers=cfg.num_workers,
         )
 
     rng, k_init = jax.random.split(rng)
@@ -370,6 +375,30 @@ def train(
         pp_packed = True
         print(f"Pipeline-parallel: {n_stages} stages, {n_mb} microbatches")
 
+    # -- optional chained dispatch (cfg.steps_per_dispatch) -------------------
+    # K optimizer steps per device launch (Trainer.make_chained_step): the
+    # tunnel charges ~30 ms per dispatch whatever the program, so the
+    # one-dispatch-per-step loop realizes ~3% of the benched step rate.
+    chain = max(int(cfg.steps_per_dispatch), 1)
+    corpus_dev = None
+    if chain > 1:
+        if mesh is not None or pp_packed:
+            raise ValueError(
+                "steps_per_dispatch > 1 is a single-device fast path; "
+                "combine with mesh/pipeline via the Trainer factories directly"
+            )
+        wavs = getattr(train_loader, "wavs", None)
+        if wavs is None:
+            raise ValueError(
+                "steps_per_dispatch > 1 needs an in-memory fixed-segment "
+                "corpus loader exposing .wavs (e.g. tools/soak_train."
+                "CorpusLoader); streaming/random-crop loaders must run "
+                "one step per dispatch"
+            )
+        corpus_dev = {"wav": jnp.asarray(np.asarray(wavs))}
+        print(f"Chained dispatch: {chain} steps/launch, "
+              f"corpus {corpus_dev['wav'].shape} in HBM")
+
     put_batch = None
     if mesh is not None:
         put_batch = lambda b: shard_batch(
@@ -497,6 +526,7 @@ def train(
                                 frozen_host=_frozen_host(st),
                                 hubert_cfg=hubert_cfg)
 
+        _periodic_ckpt.every = cfg.ckpt_every_steps
         hooks = (hooks or []) + [_periodic_ckpt]
 
     # Mid-epoch eval cadence: every val_every_steps, epsilon-MSE on up to
@@ -541,6 +571,7 @@ def train(
                     frozen_host=_frozen_host(st), hubert_cfg=hubert_cfg,
                 )
 
+        _mid_epoch_eval.every = cfg.val_every_steps
         diffusion_hooks = (hooks or []) + [_mid_epoch_eval]
 
     def _maybe_validate(state: TrainState, tag: str):
@@ -575,27 +606,92 @@ def train(
                 frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg,
             )
 
+    def _run_phase_chained(step_fn, state, epochs, prefix, tag, phase_hooks):
+        """Drive a phase in chains of ``chain`` steps per dispatch.
+
+        Epoch semantics are preserved (shuffled passes over the corpus, the
+        same number of optimizer steps); what changes is granularity: metrics
+        arrive as a [K]-stacked tree fetched once per dispatch, periodic
+        hooks fire on cadence-boundary CROSSINGS (at the snapped step, with
+        the end-of-chain state), and validation runs on epoch crossings — at
+        most once per dispatch.
+        """
+        nonlocal rng
+        B = cfg.batch_size
+        n_rows = int(corpus_dev["wav"].shape[0])
+        spe = max(n_rows // B, 1)  # steps per epoch
+        total = spe * epochs
+        rs = np.random.RandomState(cfg.seed + 1013)
+        idx_buf: List[np.ndarray] = []
+        step = int(state.step)
+        start = step
+        metrics = {}
+        t0 = time.time()
+        while step - start < total:
+            k = min(chain, total - (step - start))
+            while len(idx_buf) < k:
+                perm = rs.permutation(n_rows)[: spe * B].reshape(spe, B)
+                idx_buf.extend(perm)
+            idx = np.stack(idx_buf[:k]).astype(np.int32)
+            del idx_buf[:k]
+            rng, sub = jax.random.split(rng)
+            prev = step
+            state, stacked = step_fn(state, corpus_dev, jnp.asarray(idx), sub)
+            step += k
+            host = jax.device_get(stacked)  # ONE fetch per dispatch
+            for j in range(k):
+                s_j = prev + j + 1
+                if s_j % cfg.log_every_steps == 0:
+                    row = {kk: float(np.asarray(vv)[j])
+                           for kk, vv in host.items()}
+                    writer.write(s_j, row, prefix=prefix)
+                    if nan_guard is not None and "loss" in row:
+                        nan_guard(s_j, row["loss"])
+            metrics = {kk: float(np.asarray(vv)[-1]) for kk, vv in host.items()}
+            for hook in phase_hooks or []:
+                every = int(getattr(hook, "every", 0) or 0)
+                if every > 0:
+                    if step // every > prev // every:
+                        hook(step - step % every, state)
+                else:
+                    hook(step, state)
+            if step // spe > prev // spe:
+                done = step - start
+                print(
+                    f"  [{tag}] epoch {done // spe}/{epochs} step {step} "
+                    f"loss={metrics.get('loss', float('nan')):.4f} "
+                    f"({done * B / max(time.time() - t0, 1e-9):.0f} utt/s)"
+                )
+                _maybe_validate(state, tag)
+        return state, metrics
+
     # ---- Phase 1: diffusion ------------------------------------------------
     if "diffusion" in phases and _phase_done("diffusion"):
         print("Phase 1: diffusion — already complete in checkpoint, skipping")
     elif "diffusion" in phases:
         progress["phase"] = "diffusion"
         print(f"Phase 1: diffusion ({cfg.diffusion_epochs} epochs)")
-        step_fn = build_diffusion_step()
-        for epoch in range(cfg.diffusion_epochs):
-            rng, sub = jax.random.split(rng)
-            t0 = time.time()
-            state, metrics = _run_epoch(
-                step_fn, state, train_loader, sub, writer,
-                cfg.log_every_steps, diffusion_hooks, prefix="train/",
-                nan_guard=nan_guard, put_batch=put_batch,
+        if chain > 1:
+            state, metrics = _run_phase_chained(
+                trainer.make_chained_step(kind="diffusion"), state,
+                cfg.diffusion_epochs, "train/", "diffusion", diffusion_hooks,
             )
-            print(
-                f"  epoch {epoch + 1}/{cfg.diffusion_epochs} "
-                f"loss={float(metrics.get('loss', float('nan'))):.4f} "
-                f"({time.time() - t0:.1f}s)"
-            )
-            _maybe_validate(state, "diffusion")
+        else:
+            step_fn = build_diffusion_step()
+            for epoch in range(cfg.diffusion_epochs):
+                rng, sub = jax.random.split(rng)
+                t0 = time.time()
+                state, metrics = _run_epoch(
+                    step_fn, state, train_loader, sub, writer,
+                    cfg.log_every_steps, diffusion_hooks, prefix="train/",
+                    nan_guard=nan_guard, put_batch=put_batch,
+                )
+                print(
+                    f"  epoch {epoch + 1}/{cfg.diffusion_epochs} "
+                    f"loss={float(metrics.get('loss', float('nan'))):.4f} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+                _maybe_validate(state, "diffusion")
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase1"), state, cfg,
                         {"phase_complete": "diffusion"},
                         frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg)
@@ -617,14 +713,26 @@ def train(
         for target_steps in halvings:
             progress["halving"] = target_steps
             state = state.with_teacher()  # re-init at each halving
-            step_fn = build_progressive_step(target_steps)
-            for epoch in range(cfg.progressive_epochs_per_halving):
-                rng, sub = jax.random.split(rng)
-                state, metrics = _run_epoch(
-                    step_fn, state, train_loader, sub, writer,
-                    cfg.log_every_steps, hooks, prefix=f"prog{target_steps}/",
-                    nan_guard=nan_guard, put_batch=put_batch,
+            if chain > 1:
+                _enter_distillation()
+                state, metrics = _run_phase_chained(
+                    trainer.make_chained_step(
+                        kind="progressive", num_steps=target_steps,
+                        exact=cfg.progressive_exact,
+                    ),
+                    state, cfg.progressive_epochs_per_halving,
+                    f"prog{target_steps}/", f"prog{target_steps}", hooks,
                 )
+            else:
+                step_fn = build_progressive_step(target_steps)
+                for epoch in range(cfg.progressive_epochs_per_halving):
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = _run_epoch(
+                        step_fn, state, train_loader, sub, writer,
+                        cfg.log_every_steps, hooks,
+                        prefix=f"prog{target_steps}/",
+                        nan_guard=nan_guard, put_batch=put_batch,
+                    )
             print(
                 f"  target={target_steps} "
                 f"loss={float(metrics.get('loss', float('nan'))):.4f}"
@@ -643,19 +751,30 @@ def train(
         print(f"Phase 3: consistency ({cfg.consistency_epochs} epochs)")
         if cfg.consistency_exact and state.teacher is None:
             state = state.with_teacher()
-        step_fn = build_consistency_step()
-        for epoch in range(cfg.consistency_epochs):
-            rng, sub = jax.random.split(rng)
-            state, metrics = _run_epoch(
-                step_fn, state, train_loader, sub, writer,
-                cfg.log_every_steps, hooks, prefix="consistency/",
-                nan_guard=nan_guard, put_batch=put_batch,
+        if chain > 1:
+            _enter_distillation()
+            state, metrics = _run_phase_chained(
+                trainer.make_chained_step(
+                    kind="consistency", exact=cfg.consistency_exact,
+                    consistency_weight=cfg.consistency_weight,
+                ),
+                state, cfg.consistency_epochs, "consistency/", "consistency",
+                hooks,
             )
-            print(
-                f"  epoch {epoch + 1}/{cfg.consistency_epochs} "
-                f"loss={float(metrics.get('loss', float('nan'))):.4f}"
-            )
-            _maybe_validate(state, "consistency")
+        else:
+            step_fn = build_consistency_step()
+            for epoch in range(cfg.consistency_epochs):
+                rng, sub = jax.random.split(rng)
+                state, metrics = _run_epoch(
+                    step_fn, state, train_loader, sub, writer,
+                    cfg.log_every_steps, hooks, prefix="consistency/",
+                    nan_guard=nan_guard, put_batch=put_batch,
+                )
+                print(
+                    f"  epoch {epoch + 1}/{cfg.consistency_epochs} "
+                    f"loss={float(metrics.get('loss', float('nan'))):.4f}"
+                )
+                _maybe_validate(state, "consistency")
 
     final_params = state.params
     if pp_packed:

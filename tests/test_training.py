@@ -24,6 +24,10 @@ from edge_diffusion_tts_tpu.training import (
 )
 
 
+# Long-running lane: excluded from `pytest -m 'not slow'` (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
+
 def tiny_cfg(**kw):
     defaults = dict(
         hidden=32,
@@ -753,3 +757,148 @@ def test_checkpoint_atomic_save_stale_fallback(setup, tmp_path):
     assert not os.path.exists(path + ".stale")
     _, _, meta2 = restore_checkpoint(path, state)
     assert meta2["step"] == 8
+
+
+# -- chained multi-step dispatch (Trainer.make_chained_step) ------------------
+
+
+def test_chained_step_matches_single_steps(setup):
+    """K chained steps (one program, on-device gathering) must land on the
+    same state as K single-step dispatches given the same per-step rngs and
+    the same gathered batches."""
+    cfg, trainer, state, batch = setup
+    n_rows = 6
+    wavs = (
+        np.random.RandomState(7)
+        .randn(n_rows, cfg.segment_len)
+        .astype(np.float32)
+        * 0.1
+    )
+    corpus = {"wav": jnp.asarray(wavs)}
+    K = 4
+    idx = np.random.RandomState(8).randint(
+        0, n_rows, size=(K, cfg.batch_size)
+    ).astype(np.int32)
+    rng = jax.random.PRNGKey(11)
+    rngs = jax.random.split(rng, K)
+
+    chained = trainer.make_chained_step(kind="diffusion")
+    st_c, stacked = chained(
+        jax.tree.map(jnp.copy, state), corpus, jnp.asarray(idx), rng
+    )
+
+    single = trainer.make_diffusion_step()
+    st_s = jax.tree.map(jnp.copy, state)
+    singles = []
+    for k in range(K):
+        st_s, m = single(st_s, {"wav": corpus["wav"][idx[k]]}, rngs[k])
+        singles.append(m)
+
+    assert int(st_c.step) == int(st_s.step) == K
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(st_c.params)[0],
+        jax.tree_util.tree_flatten_with_path(st_s.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    # Stacked metrics row k == single-step metrics of step k.
+    for k in range(K):
+        np.testing.assert_allclose(
+            float(np.asarray(stacked["loss"])[k]),
+            float(singles[k]["loss"]),
+            rtol=1e-5,
+        )
+
+
+def test_chained_progressive_and_consistency(setup):
+    """The distillation kinds chain too: teacher EMA advances inside the scan
+    (progressive), and a stale teacher rides through consistency untouched."""
+    cfg, trainer, state, batch = setup
+    corpus = {"wav": jnp.tile(batch["wav"], (2, 1))}
+    idx = jnp.zeros((3, cfg.batch_size), jnp.int32)
+    rng = jax.random.PRNGKey(12)
+
+    st = jax.tree.map(jnp.copy, state).with_teacher()
+    # At re-init teacher == student, the reference same-t objective is 0 and
+    # warmup LR ~ 0, so nothing would move; open a gap so the EMA lerp
+    # (0.001 * gap per step) is observable.
+    st = st.replace(teacher=jax.tree.map(lambda p: p + 0.01, st.teacher))
+    teacher0 = jax.tree.map(np.asarray, st.teacher)
+    prog = trainer.make_chained_step(kind="progressive", num_steps=4)
+    st, stacked = prog(st, corpus, idx, rng)
+    assert int(st.step) == 3
+    assert np.isfinite(np.asarray(stacked["loss"])).all()
+    moved = any(
+        np.max(np.abs(np.asarray(a) - b)) > 1e-6
+        for a, b in zip(jax.tree.leaves(st.teacher), jax.tree.leaves(teacher0))
+    )
+    assert moved, "progressive chaining must EMA-update the teacher"
+
+    teacher_pre = jax.tree.map(np.asarray, st.teacher)
+    cons = trainer.make_chained_step(kind="consistency")
+    st, stacked = cons(st, corpus, idx, jax.random.PRNGKey(13))
+    assert int(st.step) == 6
+    assert np.isfinite(np.asarray(stacked["loss"])).all()
+    for a, b in zip(jax.tree.leaves(st.teacher), jax.tree.leaves(teacher_pre)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_train_driver_chained_smoke(tmp_path):
+    """train() with cfg.steps_per_dispatch > 1: same phase structure and step
+    counts as the per-step driver, driven by chained dispatches."""
+    from edge_diffusion_tts_tpu.training import train
+
+    cfg = tiny_cfg(
+        diff_steps=8,
+        max_timestep=7,
+        progressive_target_steps=4,
+        out_dir=str(tmp_path),
+        val_batches=1,
+        log_every_steps=1,
+        diffusion_epochs=2,
+        steps_per_dispatch=3,
+    )
+
+    n_rows = 2 * cfg.batch_size
+    wavs = (
+        np.random.RandomState(0).randn(n_rows, cfg.segment_len)
+        .astype(np.float32) * 0.1
+    )
+
+    class FixedCorpusLoader:
+        def __init__(self, w):
+            self.wavs = w
+
+        def __len__(self):
+            return len(self.wavs) // cfg.batch_size
+
+        def __iter__(self):
+            for b in range(len(self)):
+                yield {"wav": self.wavs[b * cfg.batch_size:(b + 1) * cfg.batch_size]}
+
+    loader = FixedCorpusLoader(wavs)
+    state = train(
+        cfg,
+        train_loader=loader,
+        val_loader=[{"wav": wavs[: cfg.batch_size]}],
+        hubert_cfg=HubertConfig.tiny(),
+        phases=["diffusion", "progressive", "consistency"],
+    )
+    # 2 diffusion epochs (4 steps) + 1 halving x 1 epoch (2) + 1 consistency
+    # epoch (2) = 8 steps, chained 3-3-wrap across phase totals.
+    assert int(state.step) == 8
+    run_dir = cfg.get_run_dir()
+    assert os.path.isdir(os.path.join(run_dir, "checkpoint_phase1"))
+    assert os.path.isdir(os.path.join(run_dir, "edge_model_final"))
+    # Metrics were logged at true per-step granularity.
+    import json
+
+    steps_logged = set()
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if any(k.startswith("train/") for k in rec):
+                steps_logged.add(rec["step"])
+    assert steps_logged == {1, 2, 3, 4}

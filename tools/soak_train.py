@@ -1,4 +1,4 @@
-"""Full-scale 3-phase training soak on the real TPU -> TRAIN_r03.json.
+"""Full-scale 3-phase training soak on the real TPU -> TRAIN_r{N}.json.
 
 Runs the COMPLETE reference recipe (diffusion -> 8 progressive halvings ->
 consistency; reference: edge_diffusion_tts/train.py:25-307) at the scales
@@ -11,13 +11,19 @@ the benchmarks measure:
 
 on a deterministic synthetic harmonic-speech corpus.  Produces every
 reference artifact (best/phase/final checkpoints, metrics JSONL + TB,
-sample grids) and writes TRAIN_r03.json: per-phase loss / val_cos
+sample grids) and writes the TRAIN artifact: per-phase loss / val_cos
 trajectories with wall-clock and throughput, plus the end-of-run 1-step vs
 4-step DPM++ cosine comparison (the "1-step ends best" consistency-training
 property, scored exactly like tests/test_training.py::
 test_training_dynamics_regression).
 
-Usage:  python tools/soak_train.py [--scale 1.0] [--out runs/soak_r03]
+Round 4: ``--chain K`` drives the whole run through chained dispatch
+(cfg.steps_per_dispatch -> Trainer.make_chained_step, K optimizer steps per
+device launch with on-device corpus gathering) — the fix for TRAIN_r03's
+38 utt/s wall vs 1,283 utt/s device gap (~30 ms tunnel dispatch per step).
+
+Usage:  python tools/soak_train.py [--scale 1.0] [--chain 64]
+                                   [--out runs/soak_r04]
 """
 
 from __future__ import annotations
@@ -114,8 +120,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0,
                     help="multiply all phase epoch counts")
-    ap.add_argument("--out", default="runs/soak_r03")
-    ap.add_argument("--artifact", default="TRAIN_r03.json")
+    ap.add_argument("--out", default="runs/soak_r04")
+    ap.add_argument("--artifact", default="TRAIN_r04.json")
+    ap.add_argument("--chain", type=int, default=64,
+                    help="optimizer steps per device dispatch (1 = the old "
+                         "one-dispatch-per-step driver)")
+    ap.add_argument("--diffusion-epochs", type=int, default=None)
+    ap.add_argument("--progressive-epochs", type=int, default=None)
+    ap.add_argument("--consistency-epochs", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--lr-consistency", type=float, default=None)
+    ap.add_argument("--consistency-weight", type=float, default=None)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU plumbing check (not the real soak)")
     args = ap.parse_args()
@@ -151,7 +166,18 @@ def main():
         ckpt_every_steps=4000,
         dropout=0.1,                  # 256-utt corpus: less reg than LJSpeech
         cfg_dropout=0.1,
+        steps_per_dispatch=max(args.chain, 1),
     )
+    for name, val in (
+        ("diffusion_epochs", args.diffusion_epochs),
+        ("progressive_epochs_per_halving", args.progressive_epochs),
+        ("consistency_epochs", args.consistency_epochs),
+        ("lr", args.lr),
+        ("lr_consistency", args.lr_consistency),
+        ("consistency_weight", args.consistency_weight),
+    ):
+        if val is not None:
+            setattr(cfg, name, val)
     cfg.ckpt_path = os.path.join(args.out, "checkpoint_latest")
     hubert_cfg = HubertConfig()       # full-size ~95M (random init, frozen)
     n_train, n_val = 256, 32
@@ -245,6 +271,8 @@ def main():
                     cfg.progressive_epochs_per_halving,
                 "consistency_epochs": cfg.consistency_epochs,
                 "dropout": cfg.dropout, "cfg_dropout": cfg.cfg_dropout,
+                "steps_per_dispatch": cfg.steps_per_dispatch,
+                "consistency_weight": cfg.consistency_weight,
             },
         },
         "totals": {
