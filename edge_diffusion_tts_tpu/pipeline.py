@@ -94,6 +94,15 @@ class LongFormPipeline:
             tuple(sorted(int(b) for b in prep_buckets)) if prep_buckets else None
         )
         self._refine_jit = {}
+        # stream_prep programs, created ONCE here rather than check-then-
+        # create in the request path: LongFormScheduler.submit runs
+        # stream_prep on each client's handler thread, and with warmup
+        # disabled two concurrent first submits could otherwise both build a
+        # wrapper and pay a duplicate multi-minute tunneled encoder compile.
+        self._prep_jit = jax.jit(self._prep_impl)
+        self._prep_bucket_jit = jax.jit(
+            lambda p, w, r, L: self._prep_impl(p, w, r, wav_len=L)
+        )
 
     @property
     def row_quantum(self) -> int:
@@ -361,70 +370,90 @@ class LongFormPipeline:
         forward, exact to accumulation order), and the host keeps only the
         stream's true chunk rows.
         """
+        return self.stream_prep_async(wav, rng)()
+
+    def stream_prep_async(self, wav: np.ndarray, rng):
+        """Dispatch the stream_prep program WITHOUT blocking on the fetch.
+
+        Returns a zero-arg ``realize()`` that fetches (and host-slices) the
+        results — ``realize()() == stream_prep(...)`` bit for bit.  JAX
+        dispatch is asynchronous, so N streams submitted concurrently queue
+        their prep programs back to back on the device and overlap the
+        per-dispatch tunnel round-trip (~30 ms each) instead of serializing
+        submit handlers on it; the scheduler's first tick then blocks only
+        on the data it actually reads (time-to-first-increment, the
+        long-form product metric)."""
         if self.encoder_apply is None:
             raise ValueError("pipeline constructed without an encoder")
-
-        def prep(enc_params, wav, rng, wav_len=None):
-            total = wav.shape[1]
-            n = max(
-                1,
-                -(-(total - self.overlap_samples) // self.hop_samples),
-            )
-            pad320 = (320 - total % 320) % 320
-            wav_320 = jnp.pad(wav, ((0, 0), (0, pad320)))
-            if wav_len is None:
-                z = self.encoder_apply(enc_params, wav_320)
-            else:
-                z = self.encoder_apply(enc_params, wav_320, wav_len=wav_len)
-            cs, hop = self.chunk_samples, self.hop_samples
-            padded = jnp.pad(
-                wav[0], (0, max(0, (n - 1) * hop + cs - total))
-            )
-            idx = (jnp.arange(n) * hop)[:, None] + jnp.arange(cs)[None, :]
-            chunks = padded[idx]
-            _, mean, std = normalize_mel(self.mel_frontend(chunks))
-
-            def body(r, _):
-                r, kn, kr = jax.random.split(r, 3)
-                return r, (kn, kr)
-
-            _, (kns, krs) = jax.lax.scan(body, rng, None, length=n)
-            return z, mean, std, kns, krs
 
         total = int(np.asarray(wav).shape[1])
         if self.prep_buckets:
             pad_to = next((b for b in self.prep_buckets if b >= total), None)
             if pad_to is None:
-                raise ValueError(
+                # Oversize wavs fall back to the per-length program instead
+                # of rejecting the request; the lazy compile this triggers is
+                # the cost of exceeding the configured bucket ladder.
+                import warnings
+
+                warnings.warn(
                     f"stream of {total} samples exceeds the largest prep "
-                    f"bucket {self.prep_buckets[-1]}"
+                    f"bucket {self.prep_buckets[-1]}; falling back to an "
+                    f"unbucketed per-length prep (lazy compile)",
+                    stacklevel=2,
                 )
-            n_true = max(
-                1, -(-(total - self.overlap_samples) // self.hop_samples)
-            )
-            # The unbucketed path encodes the wav padded up to x320; pass
-            # that length as the mask boundary so both paths see the same
-            # effective input.
-            enc_len = total + (320 - total % 320) % 320
-            if not hasattr(self, "_prep_bucket_jit"):
-                self._prep_bucket_jit = jax.jit(
-                    lambda p, w, r, L: prep(p, w, r, wav_len=L)
+            else:
+                n_true = max(
+                    1, -(-(total - self.overlap_samples) // self.hop_samples)
                 )
-            wav_b = np.zeros((1, pad_to), np.float32)
-            wav_b[:, :total] = np.asarray(wav)
-            z, mean, std, kns, krs = jax.device_get(
-                self._prep_bucket_jit(
+                # The unbucketed path encodes the wav padded up to x320; pass
+                # that length as the mask boundary so both paths see the same
+                # effective input.
+                enc_len = total + (320 - total % 320) % 320
+                wav_b = np.zeros((1, pad_to), np.float32)
+                wav_b[:, :total] = np.asarray(wav)
+                out = self._prep_bucket_jit(
                     self.encoder_params, jnp.asarray(wav_b), rng,
                     jnp.int32(enc_len),
                 )
-            )
-            return z, mean[:n_true], std[:n_true], kns[:n_true], krs[:n_true]
 
-        if not hasattr(self, "_prep_jit"):
-            self._prep_jit = jax.jit(prep)
-        return jax.device_get(
-            self._prep_jit(self.encoder_params, jnp.asarray(wav), rng)
+                def realize(out=out, n_true=n_true):
+                    z, mean, std, kns, krs = jax.device_get(out)
+                    return (z, mean[:n_true], std[:n_true],
+                            kns[:n_true], krs[:n_true])
+
+                return realize
+
+        out = self._prep_jit(self.encoder_params, jnp.asarray(wav), rng)
+        return lambda out=out: jax.device_get(out)
+
+    def _prep_impl(self, enc_params, wav, rng, wav_len=None):
+        """The stream_prep program body (traced under self._prep_jit /
+        self._prep_bucket_jit)."""
+        total = wav.shape[1]
+        n = max(
+            1,
+            -(-(total - self.overlap_samples) // self.hop_samples),
         )
+        pad320 = (320 - total % 320) % 320
+        wav_320 = jnp.pad(wav, ((0, 0), (0, pad320)))
+        if wav_len is None:
+            z = self.encoder_apply(enc_params, wav_320)
+        else:
+            z = self.encoder_apply(enc_params, wav_320, wav_len=wav_len)
+        cs, hop = self.chunk_samples, self.hop_samples
+        padded = jnp.pad(
+            wav[0], (0, max(0, (n - 1) * hop + cs - total))
+        )
+        idx = (jnp.arange(n) * hop)[:, None] + jnp.arange(cs)[None, :]
+        chunks = padded[idx]
+        _, mean, std = normalize_mel(self.mel_frontend(chunks))
+
+        def body(r, _):
+            r, kn, kr = jax.random.split(r, 3)
+            return r, (kn, kr)
+
+        _, (kns, krs) = jax.lax.scan(body, rng, None, length=n)
+        return z, mean, std, kns, krs
 
     # -- full pipeline -------------------------------------------------------
 
@@ -745,11 +774,18 @@ class ChunkStream:
         self.emitted = 0
         self.i = 0
 
-        # The stream's ENTIRE device-prep, fetched to host up front as ONE
-        # program (LongFormPipeline.stream_prep; see class docstring).
-        # Everything after this is numpy plus one refine program per chunk.
-        (self.z_q_global, self._mean, self._std,
-         self._k_noise, self._k_ref) = pipe.stream_prep(self.wav, rng)
+        # The stream's ENTIRE device-prep as ONE program (LongFormPipeline
+        # .stream_prep; see class docstring), dispatched asynchronously so
+        # concurrent submits overlap their tunnel round-trips; the fetch
+        # happens lazily at the first next_job().  Everything after that is
+        # numpy plus one refine program per chunk.
+        self._prep = pipe.stream_prep_async(self.wav, rng)
+
+    def _ensure_prep(self):
+        if self._prep is not None:
+            (self.z_q_global, self._mean, self._std,
+             self._k_noise, self._k_ref) = self._prep()
+            self._prep = None
 
     @property
     def done(self) -> bool:
@@ -760,6 +796,7 @@ class ChunkStream:
 
         Pure host numpy — the returned arrays ride the refine call's H2D."""
         assert not self.done, "stream exhausted"
+        self._ensure_prep()
         pipe, cfg = self.pipe, self.pipe.cfg
         k_noise, k_ref = self._k_noise[self.i], self._k_ref[self.i]
         s0 = self.i * pipe.hop_samples
@@ -784,6 +821,7 @@ class ChunkStream:
         """Fold the refined chunk in; return newly finalized increments.
 
         ``x_ref`` must be host numpy (the caller's single D2H per tick)."""
+        self._ensure_prep()
         pipe = self.pipe
         i, num_chunks = self.i, self.num_chunks
         x_ref = np.asarray(x_ref)

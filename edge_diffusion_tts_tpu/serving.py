@@ -30,6 +30,7 @@ idiomatic way to batch ragged requests under XLA's static-shape model.
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import socket
@@ -52,6 +53,13 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     )
 
 
+class Overloaded(RuntimeError):
+    """Raised by MicroBatcher.submit when the predicted queueing delay
+    exceeds ``max_queue_delay_ms`` (load shedding: fail fast instead of
+    joining an unbounded tail — SERVE_LOAD_r03 measured p99 2.5x p95 at
+    saturation with no bound)."""
+
+
 @dataclass
 class _Ticket:
     """One queued request; ``wait()`` blocks until the batch it joined ran."""
@@ -61,6 +69,8 @@ class _Ticket:
     result: Optional[np.ndarray] = None
     error: Optional[Exception] = None
     cancelled: bool = False
+    enqueued_at: float = 0.0  # time.monotonic at submit
+    queue_delay_ms: float = 0.0  # set when its batch dispatches
 
     def wait(self, timeout: Optional[float] = None) -> np.ndarray:
         if not self.done.wait(timeout):
@@ -93,18 +103,33 @@ class MicroBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         pad_token: int = 0,
+        max_queue_delay_ms: Optional[float] = None,
     ):
         self.generate_fn = generate_fn
         self.buckets = tuple(sorted(buckets))
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
         self.pad_token = int(pad_token)
+        # SLO knob: bound the queueing-delay tail.  When set, (a) submit()
+        # sheds load (raises Overloaded) once the PREDICTED delay —
+        # queue depth ahead of the request, in batches, times the running
+        # mean batch time — exceeds the bound, and (b) dispatch order is
+        # oldest-ticket-first across bucket groups so a big-bucket straggler
+        # is not starved behind a stream of small-bucket batches.  Batching
+        # cannot create device capacity; bounding p99 at saturation means
+        # refusing work that would miss the SLO anyway (the client sees a
+        # clean Overloaded instead of a late result).
+        self.max_queue_delay_ms = (
+            float(max_queue_delay_ms) if max_queue_delay_ms else None
+        )
         self._queue: "queue.Queue[_Ticket]" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()  # orders submit() against close()
         self.batches_run = 0  # observability; tests assert batching happened
         self.requests_served = 0  # == live rows summed over batches
         self.device_ms_total = 0.0  # wall time inside generate_fn
+        self.shed_count = 0  # submits refused by the SLO bound
+        self._delays = collections.deque(maxlen=1024)  # recent queue delays
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -113,11 +138,23 @@ class MicroBatcher:
         self.batches_run = 0
         self.requests_served = 0
         self.device_ms_total = 0.0
+        self.shed_count = 0
+        self._delays.clear()
+
+    def predicted_delay_ms(self) -> float:
+        """Expected queueing delay for a request submitted NOW: batches
+        ahead of it (current depth, in program-sized groups, plus the one
+        in flight) times the running mean batch time."""
+        if self.batches_run == 0:
+            return 0.0  # no signal until the first batch ran (post-warmup)
+        mean_batch = self.device_ms_total / self.batches_run
+        batches_ahead = self._queue.qsize() / self.max_batch + 1
+        return batches_ahead * mean_batch
 
     def stats(self) -> dict:
         """Serving counters: batch occupancy is the throughput lever."""
         b = max(self.batches_run, 1)
-        return {
+        out = {
             "requests_served": self.requests_served,
             "batches_run": self.batches_run,
             "mean_batch_occupancy": round(
@@ -125,17 +162,41 @@ class MicroBatcher:
             ),
             "mean_batch_ms": round(self.device_ms_total / b, 3),
             "queue_depth": self._queue.qsize(),
+            "shed_count": self.shed_count,
         }
+        if self._delays:
+            d = np.sort(np.asarray(self._delays))
+            out["queue_delay_ms"] = {
+                "p50": round(float(np.percentile(d, 50)), 1),
+                "p95": round(float(np.percentile(d, 95)), 1),
+                "p99": round(float(np.percentile(d, 99)), 1),
+                "max": round(float(d[-1]), 1),
+            }
+        return out
 
     # -- client side ------------------------------------------------------
 
     def submit(self, tokens: np.ndarray) -> _Ticket:
-        """Enqueue one request (1-D int token array); returns its ticket."""
+        """Enqueue one request (1-D int token array); returns its ticket.
+
+        With ``max_queue_delay_ms`` set, raises :class:`Overloaded` when the
+        predicted queueing delay already exceeds the bound — fail fast at
+        admission instead of serving a result the client stopped waiting
+        for."""
         tokens = np.asarray(tokens, np.int32)
         if tokens.ndim != 1 or tokens.size == 0:
             raise ValueError("tokens must be a non-empty 1-D int array")
         pick_bucket(tokens.size, self.buckets)  # validate size up front
-        t = _Ticket(tokens)
+        if (
+            self.max_queue_delay_ms is not None
+            and self.predicted_delay_ms() > self.max_queue_delay_ms
+        ):
+            self.shed_count += 1
+            raise Overloaded(
+                f"predicted queue delay {self.predicted_delay_ms():.0f} ms "
+                f"exceeds max_queue_delay_ms={self.max_queue_delay_ms:.0f}"
+            )
+        t = _Ticket(tokens, enqueued_at=time.monotonic())
         # Check-and-put under the lock: a submit racing close() must either
         # raise here or have its ticket visible to close()'s drain — never
         # land in a dead queue after the drain already ran.
@@ -196,9 +257,12 @@ class MicroBatcher:
         B = self.max_batch
         sem_idx = np.full((B, bucket), self.pad_token, np.int32)
         sem_mask = np.zeros((B, bucket), bool)
+        now = time.monotonic()
         for i, t in enumerate(tickets):
             sem_idx[i, : t.tokens.size] = t.tokens
             sem_mask[i, : t.tokens.size] = True
+            t.queue_delay_ms = (now - t.enqueued_at) * 1e3
+            self._delays.append(t.queue_delay_ms)
         try:
             t0 = time.monotonic()
             mel = np.asarray(self.generate_fn(sem_idx, sem_mask))
@@ -230,7 +294,14 @@ class MicroBatcher:
                     by_bucket.setdefault(
                         pick_bucket(t.tokens.size, self.buckets), []
                     ).append(t)
-                for bucket in sorted(by_bucket):
+                # Oldest-first across bucket groups: a straggler in one
+                # bucket must not wait behind every other bucket's program
+                # just because its bucket sorts last (tail bound).
+                order = sorted(
+                    by_bucket,
+                    key=lambda b: min(t.enqueued_at for t in by_bucket[b]),
+                )
+                for bucket in order:
                     group = by_bucket[bucket]
                     # max_batch rows per program: split oversized groups
                     for i in range(0, len(group), self.max_batch):
@@ -448,7 +519,9 @@ class LongFormScheduler:
     def _absorb(self, block: bool):
         if block:
             try:
-                s = self._inbox.get(timeout=0.05)
+                # Short idle poll: this timeout is pure additive latency on a
+                # fresh stream's first chunk (time-to-first-increment).
+                s = self._inbox.get(timeout=0.01)
             except queue.Empty:
                 return
             if s is not None:
@@ -468,6 +541,11 @@ class LongFormScheduler:
             return
         group = self._active[0].group
         batch = [s for s in self._active if s.group == group]
+        # First-chunk rows first (stable sort): when the group has more
+        # streams than max_streams, a fresh stream's chunk 0 must not wait
+        # behind established streams' later chunks — first-increment latency
+        # is the long-form product metric.
+        batch.sort(key=lambda s: s.chunk.i > 0)
         batch = batch[: self.max_streams]
         try:
             self._run_batch(batch, group)
@@ -727,6 +805,7 @@ def run_server(
     buckets: Sequence[int] = (128, 256, 512, 1024),
     max_batch: int = 8,
     max_wait_ms: float = 5.0,
+    max_queue_delay_ms: Optional[float] = None,
     sampler: str = "ddim",
     mesh: int = 0,
     warmup: bool = True,
@@ -874,7 +953,7 @@ def run_server(
 
     batcher = MicroBatcher(
         generate_fn, buckets=buckets, max_batch=max_batch,
-        max_wait_ms=max_wait_ms,
+        max_wait_ms=max_wait_ms, max_queue_delay_ms=max_queue_delay_ms,
     )
     batcher.inference = inf  # observability: sampler/prediction inspection
     if warmup:

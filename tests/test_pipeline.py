@@ -13,6 +13,9 @@ from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
 from edge_diffusion_tts_tpu.pipeline import LongFormPipeline
 from edge_diffusion_tts_tpu.schedule import DiffusionSchedule
 
+# Long-running lane: excluded from `pytest -m 'not slow'` (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_pipeline():
@@ -518,9 +521,26 @@ def test_stream_prep_bucketed_matches_exact(bucketed_pipes):
             zb[:, :S], z, rtol=1e-4, atol=1e-5
         )
         assert np.all(zb[:, S:] == 0.0)
-    # Both lengths hit a bucket: exactly the compiled bucket shapes exist,
-    # not one program per wav length.
-    assert pipe_b._prep_bucket_jit._cache_size() == 2
+    # Bucketing bounds the compile surface: a THIRD wav length that lands in
+    # an already-compiled bucket must not trace a new program.  Counted by
+    # shadowing the program body (it only runs while tracing), not via
+    # private jit cache APIs.
+    traces = []
+    orig_impl = pipe_b._prep_impl
+    pipe_b._prep_impl = lambda *a, **kw: (traces.append(1), orig_impl(*a, **kw))[1]
+    try:
+        T3 = int(0.6 * cfg.sample_rate)  # same 0.8 s bucket as the 0.7 s wav
+        wav3 = (0.2 * np.sin(
+            2 * np.pi * 180 * np.arange(T3) / cfg.sample_rate
+        )).astype(np.float32).reshape(1, -1)
+        z3, mean3, std3, kns3, krs3 = pipe_b.stream_prep(wav3, rng)
+        z3e, _, _, kns3e, _ = pipe.stream_prep(wav3, rng)
+    finally:
+        del pipe_b._prep_impl
+    assert traces == [], "same-bucket length must reuse the compiled program"
+    np.testing.assert_array_equal(kns3, kns3e)
+    S3 = z3e.shape[1]
+    np.testing.assert_allclose(z3[:, :S3], z3e, rtol=1e-4, atol=1e-5)
 
 
 def test_generate_streaming_bucketed_matches_exact(bucketed_pipes):
@@ -540,8 +560,24 @@ def test_generate_streaming_bucketed_matches_exact(bucketed_pipes):
         np.testing.assert_allclose(sa, sb, rtol=2e-3, atol=2e-4)
 
 
-def test_stream_prep_oversize_raises(bucketed_pipes):
-    cfg, _, pipe_b = bucketed_pipes
-    wav = np.zeros((1, int(2.0 * cfg.sample_rate)), np.float32)
-    with pytest.raises(ValueError, match="exceeds the largest prep bucket"):
-        pipe_b.stream_prep(wav, jax.random.PRNGKey(0))
+def test_stream_prep_oversize_falls_back(bucketed_pipes):
+    # A wav longer than the largest bucket is still served: it warns and
+    # falls back to the per-length program instead of raising at request
+    # time (the pre-r4 behavior was a hard ValueError).
+    cfg, pipe, pipe_b = bucketed_pipes
+    T = int(2.0 * cfg.sample_rate)  # largest bucket is 1.6 s
+    wav = (0.2 * np.sin(
+        2 * np.pi * 200 * np.arange(T) / cfg.sample_rate
+    )).astype(np.float32).reshape(1, -1)
+    with pytest.warns(UserWarning, match="exceeds the largest prep bucket"):
+        zb, mean_b, std_b, kns_b, _ = pipe_b.stream_prep(
+            wav, jax.random.PRNGKey(5)
+        )
+    z, mean, std, kns, _ = pipe.stream_prep(wav, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(kns_b, kns)
+    np.testing.assert_allclose(zb, z, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(mean_b, mean, rtol=1e-6)
+
+
+# (the pre-r4 behavior — oversize wavs raising ValueError — was replaced by
+# the warn-and-fall-back path, tested in test_stream_prep_oversize_falls_back)

@@ -19,6 +19,9 @@ from edge_diffusion_tts_tpu.models import EdgeDiffusionDecoder
 from edge_diffusion_tts_tpu.models.decoder import init_decoder_params
 from edge_diffusion_tts_tpu.schedule import DiffusionSchedule
 from edge_diffusion_tts_tpu.inference import EdgeInference
+
+# Long-running lane: excluded from `pytest -m 'not slow'` (CLAUDE.md).
+pytestmark = pytest.mark.slow
 from edge_diffusion_tts_tpu.serving import (
     MicroBatcher,
     pick_bucket,
@@ -885,4 +888,71 @@ def test_tcp_round_trip():
             request_tts([], host=host, port=port, timeout=30.0)
     finally:
         server.shutdown()
+        mb.close()
+
+
+def test_micro_batcher_slo_sheds_overload():
+    """max_queue_delay_ms: once the predicted queueing delay exceeds the
+    bound, submit() raises Overloaded instead of joining the tail, and
+    queue-delay percentiles are reported in stats()."""
+    import time as _time
+
+    from edge_diffusion_tts_tpu.serving import Overloaded
+
+    def slow_gen(sem_idx, sem_mask):
+        _time.sleep(0.05)
+        return _fake_generate(sem_idx, sem_mask)
+
+    mb = MicroBatcher(
+        slow_gen, buckets=(8,), max_batch=2, max_wait_ms=1.0,
+        max_queue_delay_ms=120.0,
+    )
+    try:
+        # Prime the mean-batch-time estimate (prediction needs >=1 batch).
+        mb.generate(np.arange(1, 4, dtype=np.int32), timeout=30.0)
+
+        tickets, shed = [], 0
+        for i in range(30):
+            try:
+                tickets.append(mb.submit(np.arange(1, 4, dtype=np.int32)))
+            except Overloaded:
+                shed += 1
+        assert shed > 0, "sustained overload must shed"
+        assert tickets, "the bound admits work up to the SLO"
+        for t in tickets:
+            t.wait(30.0)
+        # Admitted requests were dispatched within a few batch-times of the
+        # bound (admission headroom: depth seen at submit), far below the
+        # unshedded tail (30 requests x 50 ms / 2 rows ~ 750 ms).
+        worst = max(t.queue_delay_ms for t in tickets)
+        assert worst < 400.0, f"queue delay {worst} despite shedding"
+        s = mb.stats()
+        assert s["shed_count"] == shed
+        assert "queue_delay_ms" in s and s["queue_delay_ms"]["max"] < 400.0
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_oldest_first_bucket_order():
+    """Across bucket groups in one gather cycle, the group holding the
+    OLDEST ticket runs first (tail bound for big-bucket stragglers that
+    would otherwise sort behind every smaller bucket)."""
+    import time as _time
+
+    order = []
+
+    def gen(sem_idx, sem_mask):
+        order.append(sem_idx.shape[1])
+        return _fake_generate(sem_idx, sem_mask)
+
+    # Long gather window so both tickets land in ONE cycle.
+    mb = MicroBatcher(gen, buckets=(4, 8), max_batch=2, max_wait_ms=200.0)
+    try:
+        big = mb.submit(np.arange(1, 7, dtype=np.int32))   # bucket 8, older
+        _time.sleep(0.02)
+        small = mb.submit(np.arange(1, 3, dtype=np.int32))  # bucket 4, newer
+        big.wait(30.0)
+        small.wait(30.0)
+        assert order == [8, 4], f"bucket order {order} (oldest-first expected)"
+    finally:
         mb.close()

@@ -21,10 +21,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import threading
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def percentile(xs, q):
@@ -41,6 +44,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.smoke:
+        # CPU plumbing check: must not touch the tunneled single-client TPU
+        # (the env var alone is ignored once the axon plugin registered).
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from edge_diffusion_tts_tpu.config import CFG

@@ -20,10 +20,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import threading
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def percentile(xs, q):
@@ -40,9 +43,20 @@ def main():
     ap.add_argument("--levels", type=str, default="1,8,32",
                     help="closed-loop concurrency levels")
     ap.add_argument("--requests-per-client", type=int, default=12)
+    ap.add_argument("--slo", type=float, default=None,
+                    help="max_queue_delay_ms for the batcher: shed submits "
+                         "whose predicted queueing delay exceeds this "
+                         "(clients count the rejection and retry after a "
+                         "short backoff)")
     args = ap.parse_args()
 
-    import jax  # noqa: F401  (device selection happens on import)
+    import jax
+
+    if args.smoke:
+        # CPU plumbing check: must not touch (or contend for) the tunneled
+        # single-client TPU; the env var alone is ignored once the axon
+        # plugin registered, so force through jax.config (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from edge_diffusion_tts_tpu.config import CFG
@@ -72,7 +86,7 @@ def main():
 
     server, batcher = run_server(
         ckpt, port=0, steps=steps, buckets=buckets, max_batch=max_batch,
-        max_wait_ms=5.0, verbose=False,
+        max_wait_ms=5.0, max_queue_delay_ms=args.slo, verbose=False,
     )
     host, port = server.server_address
     meta = {
@@ -81,6 +95,7 @@ def main():
         "device": jax.devices()[0].device_kind,
         "steps": steps, "buckets": list(buckets), "max_batch": max_batch,
         "token_lens": [len_lo, len_hi],
+        "max_queue_delay_ms": args.slo,
     }
     print(json.dumps(meta), flush=True)
 
@@ -90,21 +105,34 @@ def main():
             lat_ms: list = []
             lock = threading.Lock()
             errors: list = []
+            shed = [0]
 
             def client(i):
                 r = np.random.default_rng(1000 + i)
                 mine = []
                 try:
-                    for _ in range(per_client):
+                    done = 0
+                    while done < per_client:
                         n = int(r.integers(len_lo, len_hi + 1))
                         toks = r.integers(
                             0, cfg.effective_codebook_size(), n
                         ).tolist()
                         t0 = time.monotonic()
-                        mel = request_tts(toks, host=host, port=port,
-                                          timeout=600.0)
+                        try:
+                            mel = request_tts(toks, host=host, port=port,
+                                              timeout=600.0)
+                        except RuntimeError as e:
+                            if "Overloaded" in str(e):
+                                # SLO shed: clean rejection, client backs off
+                                # and retries instead of joining the tail.
+                                with lock:
+                                    shed[0] += 1
+                                time.sleep(0.05)
+                                continue
+                            raise
                         mine.append((time.monotonic() - t0) * 1e3)
                         assert mel.shape == (2 * n, cfg.n_mels)
+                        done += 1
                 except Exception as e:  # surface, don't hang the join
                     with lock:
                         errors.append(f"{type(e).__name__}: {e}")
@@ -142,6 +170,8 @@ def main():
                 "mean_batch_occupancy": stats["mean_batch_occupancy"],
                 "batches_run": stats["batches_run"],
                 "mean_batch_ms": stats["mean_batch_ms"],
+                "shed": shed[0],
+                "queue_delay_ms": stats.get("queue_delay_ms"),
             }), flush=True)
     finally:
         server.shutdown()
