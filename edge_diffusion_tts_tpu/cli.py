@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
         "export", help="export the decoder for edge deployment"
     )
     ex.add_argument("checkpoint", type=str, help="edge_model_final directory")
-    ex.add_argument("--format", choices=["stablehlo", "tflite"],
+    ex.add_argument("--format", choices=["stablehlo", "tflite", "weight-int8"],
                     default="stablehlo")
     ex.add_argument("--out", type=str, default=None)
     ex.add_argument("--t-frames", type=int, default=200,
@@ -90,7 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--s-tokens", type=int, default=100,
                     help="static context length (tflite only)")
     ex.add_argument("--quantize", choices=["dynamic", "int8"], default="",
-                    help="post-training quantization (tflite only)")
+                    help="post-training quantization (tflite only); for the "
+                         "in-budget selective weight-only artifact use "
+                         "--format weight-int8 (utils/quantize.py)")
 
     sv = sub.add_parser(
         "serve",
@@ -105,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="token-length buckets (one compiled program each)")
     sv.add_argument("--max-batch", type=int, default=8)
     sv.add_argument("--max-wait-ms", type=float, default=5.0)
+    sv.add_argument("--max-queue-delay-ms", type=float, default=None,
+                    help="SLO bound: shed (reject) submits whose predicted "
+                         "queueing delay exceeds this; bounds the p99 tail "
+                         "at saturation")
     sv.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim")
     sv.add_argument("--mesh", type=int, default=0,
                     help="shard each batch over N chips on the data axis "
@@ -318,6 +324,7 @@ def main(argv=None):
                 buckets=tuple(int(b) for b in args.buckets.split(",")),
                 max_batch=args.max_batch,
                 max_wait_ms=args.max_wait_ms,
+                max_queue_delay_ms=args.max_queue_delay_ms,
                 sampler=args.sampler,
                 mesh=args.mesh,
                 seed=args.seed,
@@ -345,7 +352,19 @@ def main(argv=None):
 
         params, cfg = restore_final_model(args.checkpoint)
         decoder = EdgeDiffusionDecoder(cfg)
-        if args.format == "tflite":
+        if args.format == "weight-int8":
+            # Selective per-channel weight-only int8: the quantization mode
+            # that meets the 1e-2 e2e mel-L1 budget (sensitive tensors kept
+            # f32; see utils/quantize.py and QUANT_r04.json).
+            import json as _json
+
+            from .utils.quantize import save_quantized
+
+            out = args.out or "edge_model.int8.npz"
+            final, report = save_quantized(out, params["decoder"])
+            print(_json.dumps(report))
+            print(f"Exported weight-int8 decoder -> {final}")
+        elif args.format == "tflite":
             from .utils.export import export_tflite
 
             out = args.out or "edge_model.tflite"
@@ -377,9 +396,13 @@ def main(argv=None):
 
             hm = HubertModel.from_pretrained(args.hubert_id)
             hubert_params = load_hubert_params_from_torch(hm.state_dict(), HC())
-        params, vq_state, _ = convert_reference_checkpoint(
+        params, vq_state, cfg_dict = convert_reference_checkpoint(
             ckpt, num_layers=cfg.layers, hubert_params=hubert_params
         )
+        if cfg_dict:
+            # The converter sanitizes reference-only config quirks (e.g.
+            # the declared-but-unconsumed use_depthwise=True).
+            cfg = CFG.from_dict(cfg_dict)
         # vq_state carries the trained VQ codebook for use_fsq=False
         # reference checkpoints — dropping it would leave token encoding
         # on a random-init codebook.

@@ -29,6 +29,13 @@ class DataLoader:
     transfer overlaps the previous step's compute instead of riding the
     dispatch of the jitted step.  Values are unchanged (tested); keep it off
     when a mesh will reshard batches anyway.
+
+    ``workers`` (cfg.num_workers; reference train.py:60-69 / config.py:82)
+    is the number of read+collate threads.  0 loads synchronously in the
+    consumer (torch's num_workers=0 semantics), 1 is the single prefetch
+    thread, >1 fans collation over a thread pool with order-preserving
+    emission — batch order and content are identical for any worker count
+    (tests/test_data.py).
     """
 
     def __init__(
@@ -41,6 +48,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         pin_memory: bool = False,
+        workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,6 +58,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.pin_memory = pin_memory
+        self.workers = max(int(workers), 0)
         self.epoch = 0
 
     def _collate(self, items):
@@ -101,9 +110,12 @@ class DataLoader:
 
     def __iter__(self):
         self.epoch += 1
-        if self.prefetch <= 0:
+        if self.prefetch <= 0 or self.workers == 0:
             for idx in self._batch_indices():
                 yield self._collate([self.dataset[int(i)] for i in idx])
+            return
+        if self.workers > 1:
+            yield from self._iter_pool()
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -122,4 +134,51 @@ class DataLoader:
         finally:
             # Runs on normal exhaustion AND on generator close (a consumer
             # breaking out of its for-loop): releases the producer.
+            stop.set()
+
+    def _iter_pool(self):
+        """workers > 1: strided read+collate across a thread pool, emitted in
+        batch order via a reorder buffer (the consumer keeps draining the
+        shared queue while waiting for the next in-order batch, so producers
+        never block on an out-of-order head-of-line)."""
+        batches = list(self._batch_indices())
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch + self.workers)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def work(w: int):
+            try:
+                for pos in range(w, len(batches), self.workers):
+                    if stop.is_set():
+                        return
+                    items = [self.dataset[int(i)] for i in batches[pos]]
+                    if not put((pos, self._collate(items))):
+                        return
+            except BaseException as e:  # surface reader errors in the consumer
+                put((-1, e))
+
+        threads = [
+            threading.Thread(target=work, args=(w,), daemon=True)
+            for w in range(self.workers)
+        ]
+        for t in threads:
+            t.start()
+        buf = {}
+        try:
+            for want in range(len(batches)):
+                while want not in buf:
+                    pos, item = q.get()
+                    if pos == -1:
+                        raise item
+                    buf[pos] = item
+                yield buf.pop(want)
+        finally:
             stop.set()

@@ -88,6 +88,16 @@ class EdgeDiffusionDecoder(nn.Module):
             H, max_len=cfg.max_ctx_positions
         )
         self.in_proj = nn.Dense(H, dtype=self.dtype)
+        if cfg.use_depthwise:
+            # Residual depthwise-separable conv pre-net on the projected mel
+            # sequence (kernel 3, local temporal smoothing).  The reference
+            # declares this flag (README-advertised, config.py:107) but no
+            # reference model consumes it — here it is WIRED, default off so
+            # ported reference weights/numerics are unchanged (PARITY.md
+            # deviations).  Not halo-exact under sequence parallelism.
+            from ..layers.conv import DepthwiseSeparableConv
+
+            self.pre_conv = DepthwiseSeparableConv(H, H, dtype=self.dtype)
         self.pos_emb = SinusoidalPositionalEmb(H, max_len=cfg.max_mel_positions)
         # flax names list entries "layers_<i>" — same tree as the old loop.
         self.layers = [
@@ -141,6 +151,8 @@ class EdgeDiffusionDecoder(nn.Module):
         # processing global frames [pos_offset, pos_offset + T) sees its true
         # positions (parallel/sequence_parallel.py).
         h = self.in_proj(x_t.astype(self.dtype))
+        if self.cfg.use_depthwise:
+            h = h + self.pre_conv(h)
         h = self.pos_emb(h, offset=pos_offset)
         return h, context, t_cond
 

@@ -148,7 +148,15 @@ def convert_reference_checkpoint(
         enc["hubert"] = hubert_params["params"]
 
     params = {"encoder": enc, "decoder": decoder}
-    return params, vq_state, ckpt.get("cfg")
+    cfg = ckpt.get("cfg")
+    if isinstance(cfg, dict) and cfg.get("use_depthwise"):
+        # The reference DECLARES use_depthwise=True but no reference model
+        # consumes it, so its checkpoints carry no conv weights.  Our decoder
+        # actually wires the flag (models/decoder.py pre_conv) — migrated
+        # configs must turn it off or the restored decoder would expect
+        # parameters that never existed (PARITY.md deviation 13).
+        cfg = dict(cfg, use_depthwise=False)
+    return params, vq_state, cfg
 
 
 def convert_vq_state_dict(sd: Dict) -> Dict:

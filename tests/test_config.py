@@ -55,8 +55,39 @@ def test_no_dead_cfg_fields():
     field is wired or deleted.  Guards against regressions when new fields
     land."""
     import dataclasses
+    import io
     import pathlib
     import re
+    import tokenize
+
+    def code_only(src: str) -> str:
+        """Drop comments and docstrings/bare-string statements so a field
+        name mentioned only in prose does not count as 'consumed'.  Inline
+        strings (argparse flags, dict keys) are kept — those are real
+        consumption sites."""
+        out = []
+        prev_sig = None  # last significant token type
+        boundary = (
+            tokenize.NEWLINE, tokenize.NL, tokenize.INDENT, tokenize.DEDENT,
+        )
+        try:
+            for t in tokenize.generate_tokens(io.StringIO(src).readline):
+                if t.type == tokenize.COMMENT:
+                    continue
+                if t.type == tokenize.STRING and (
+                    prev_sig is None or prev_sig in boundary
+                ):
+                    continue  # expression-statement string = docstring
+                if t.type not in (
+                    tokenize.ENCODING, tokenize.ENDMARKER, tokenize.NL,
+                ):
+                    if t.type not in (tokenize.NEWLINE, tokenize.INDENT,
+                                      tokenize.DEDENT):
+                        out.append(t.string)
+                    prev_sig = t.type
+        except tokenize.TokenError:
+            return src
+        return " ".join(out)
 
     root = pathlib.Path(__file__).resolve().parents[1]
     sources = []
@@ -67,7 +98,7 @@ def test_no_dead_cfg_fields():
         "tools/*.py",
     ):
         sources += [p for p in root.glob(pat) if p.name != "config.py"]
-    blob = "\n".join(p.read_text() for p in sources)
+    blob = "\n".join(code_only(p.read_text()) for p in sources)
     dead = [
         f.name
         for f in dataclasses.fields(CFG)

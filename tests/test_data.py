@@ -89,6 +89,42 @@ def test_loader_iterates_and_shuffles(mini_ljspeech):
     assert len(batches2) == len(batches)
 
 
+def test_loader_workers_preserve_order_and_content(mini_ljspeech):
+    """cfg.num_workers wiring: 0 (synchronous), 1 (single prefetch thread)
+    and a >1 thread pool must yield bit-identical batches in the same
+    order."""
+    cfg = CFG(segment_secs=0.25)
+    ds = LJSpeechDataset(mini_ljspeech, "train")
+
+    def run(workers):
+        loader = DataLoader(
+            ds, batch_size=4, collate=Collate(cfg, deterministic=True),
+            seed=7, workers=workers,
+        )
+        return list(loader)
+
+    ref = run(0)
+    for w in (1, 3):
+        got = run(w)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(
+                np.asarray(a["wav"]), np.asarray(b["wav"])
+            )
+
+
+def test_loader_pool_surfaces_reader_errors(mini_ljspeech):
+    cfg = CFG(segment_secs=0.25)
+    ds = LJSpeechDataset(mini_ljspeech, "train")
+
+    def boom(items):
+        raise RuntimeError("collate exploded")
+
+    loader = DataLoader(ds, batch_size=4, collate=boom, workers=2)
+    with pytest.raises(RuntimeError, match="collate exploded"):
+        list(loader)
+
+
 def test_collate_precomputed_alignment():
     cfg = CFG(segment_secs=0.5)
     from edge_diffusion_tts_tpu.config import hubert_num_frames

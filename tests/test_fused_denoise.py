@@ -16,6 +16,9 @@ from edge_diffusion_tts_tpu.ops.fused_denoise import (
 )
 from edge_diffusion_tts_tpu.schedule import DiffusionSchedule, ddim_sample
 
+# Long-running lane: excluded from `pytest -m 'not slow'` (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

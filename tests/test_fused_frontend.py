@@ -7,6 +7,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# Long-running lane: excluded from `pytest -m 'not slow'` (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 from edge_diffusion_tts_tpu.models.hubert import (
     HubertConfig,
     _FeatureExtractor,

@@ -17,6 +17,7 @@ from edge_diffusion_tts_tpu.config import hubert_num_frames
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.slow
 def test_frame_count_formula():
     cfg = HubertConfig()
     enc = HubertEncoder(cfg)
@@ -36,6 +37,7 @@ def test_hidden_states_indexing():
     assert all(s.shape == states[0].shape for s in states)
 
 
+@pytest.mark.slow
 def test_masked_padded_forward_is_exact():
     # wav_len makes a zero-padded forward equal to the exact-length forward
     # on every valid frame: masked group-norm statistics, zeroed padded
@@ -108,6 +110,7 @@ def test_masked_forward_batched_lengths():
         )
 
 
+@pytest.mark.slow
 def test_semantic_encoder_masked_matches_exact():
     # wav_len threads end-to-end through SemanticEncoder: a padded encode
     # equals the exact-length encode on valid frames, and the quantized
@@ -196,6 +199,7 @@ def test_parity_with_torch_hubert(torch_pair):
         )
 
 
+@pytest.mark.slow
 def test_parity_full_size_hubert_base():
     """Full hubert-base-ls960 architecture (random init): layer-9 parity.
 

@@ -88,11 +88,18 @@ def test_migrate_and_generate_parity(reference_ckpts, layout, tmp_path):
 
     path = v1_path if layout == "v1" else v2_path
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    cfg = CFG.from_dict(ckpt["cfg"]) if ckpt.get("cfg") else CFG(
+    n_layers = (ckpt.get("cfg") or {}).get("layers", 2)
+    params, vq_state, cfg_dict = convert_reference_checkpoint(
+        ckpt, num_layers=n_layers
+    )
+    # The converter's returned cfg dict is the migration source of truth: it
+    # sanitizes reference-only quirks (use_depthwise declared True but
+    # unconsumed there — our decoder wires it, so it must come back False).
+    cfg = CFG.from_dict(cfg_dict) if cfg_dict else CFG(
         hidden=32, layers=2, heads=2, dropout=0.0, use_fsq=True
     )
+    assert not cfg.use_depthwise
     cfg.out_dir = str(tmp_path)
-    params, vq_state, _ = convert_reference_checkpoint(ckpt, num_layers=cfg.layers)
 
     # round-trip through our checkpoint format
     out_dir = str(tmp_path / f"migrated_{layout}")

@@ -195,6 +195,35 @@ def test_decoder_zero_init_output():
     np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)
 
 
+def test_decoder_use_depthwise_pre_net():
+    """cfg.use_depthwise wires the depthwise-separable conv pre-net into the
+    decoder (a capability the reference advertises but never consumes —
+    PARITY.md deviations); default OFF keeps the reference architecture."""
+    cfg_off = small_cfg(use_fsq=False, codebook_size=64)
+    cfg_on = small_cfg(use_fsq=False, codebook_size=64, use_depthwise=True)
+    x = jax.random.normal(KEY, (1, 16, cfg_off.n_mels))
+    t = jnp.array([100])
+    sem = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, 64)
+
+    off = EdgeDiffusionDecoder(cfg_off)
+    params_off = off.init(KEY, x, t, sem_idx=sem)
+    assert "pre_conv" not in params_off["params"]
+
+    on = EdgeDiffusionDecoder(cfg_on)
+    params_on = on.init(KEY, x, t, sem_idx=sem)
+    assert {"depthwise", "pointwise", "norm"} <= set(
+        params_on["params"]["pre_conv"].keys()
+    )
+    y = on.apply(params_on, x, t, sem_idx=sem)
+    assert y.shape == (1, 16, cfg_off.n_mels)
+    # The pre-net feeds the (zero-init-head) trunk, so the OUTPUT is still
+    # zero at init; the hidden states it produces must differ from the
+    # plain path — check via the prelude.
+    h_on, _, _ = on.apply(params_on, x, t, sem_idx=sem, method=on.prelude)
+    h_off, _, _ = off.apply(params_off, x, t, sem_idx=sem, method=off.prelude)
+    assert not np.allclose(np.asarray(h_on), np.asarray(h_off), atol=1e-4)
+
+
 def test_decoder_features_path_and_conditioning_matters():
     cfg = small_cfg()
     dec = EdgeDiffusionDecoder(cfg)

@@ -33,6 +33,8 @@ from edge_diffusion_tts_tpu.training import (
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
+# Long-running lane: excluded from `pytest -m 'not slow'` (CLAUDE.md).
+pytestmark = [pytest.mark.slow, pytestmark]
 
 
 def pipe_mesh(n):

@@ -22,6 +22,8 @@ from edge_diffusion_tts_tpu.parallel.tensor_parallel import (
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
+# Long-running lane: excluded from `pytest -m 'not slow'` (CLAUDE.md).
+pytestmark = [pytest.mark.slow, pytestmark]
 
 
 def test_hubert_param_spec_rules():

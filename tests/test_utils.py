@@ -55,6 +55,7 @@ def test_memory_stats_shape():
     assert isinstance(stats, dict)
 
 
+@pytest.mark.slow
 def test_remat_decoder_wraps():
     import flax.linen as nn
 

@@ -64,6 +64,7 @@ def test_banded_full_window_equals_full_attention():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_decoder_auto_selects_pallas_by_seq_len():
     """cfg.use_flash_attn + cfg.pallas_min_seq_len routing: the decoder's
     self-attention uses the Pallas kernel only at/above the crossover length
@@ -102,6 +103,7 @@ def test_decoder_auto_selects_pallas_by_seq_len():
     )
 
 
+@pytest.mark.slow
 def test_decoder_long_sequence_via_raised_position_caps():
     """The default positional tables cap T at 1000 mel frames / 512 context
     tokens (reference parity) — below the measured Pallas crossover of 3000.
@@ -127,6 +129,7 @@ def test_decoder_long_sequence_via_raised_position_caps():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_longform_config_engages_pallas_end_to_end():
     """configs/longform.json is the SHIPPED long-utterance config: at its
     40 s working shape (mel T=4000 >= pallas_min_seq_len=3000) the flagship

@@ -1,10 +1,17 @@
-"""Quantized-edge-export report: flagship decoder, float vs dynamic-range int8.
+"""Quantized-edge-export report: flagship decoder, float vs quantized modes.
 
-Produces QUANT_r03.json with artifact sizes, single-forward error, and
-end-to-end 4-step DDIM mel L1 between the float TFLite artifact, the
-dynamic-range-quantized TFLite artifact, and the JAX float oracle — the
-metrics backing the edge-deployment story (beyond the reference's fp32-only
-ONNX export, reference: edge_diffusion_tts/utils/export.py:12-40).
+Produces QUANT_r{N}.json with artifact sizes, single-forward error, and
+end-to-end 4-step DDIM mel L1 for each quantization mode against the JAX
+float oracle — the metrics backing the edge-deployment story (beyond the
+reference's fp32-only ONNX export, reference:
+edge_diffusion_tts/utils/export.py:12-40).  Modes:
+
+  - TFLite dynamic-range (quantizes every pattern-matched weight): 1.95x
+    smaller but e2e mel L1 0.019 — 2x OVER the 1e-2 budget (r3 result,
+    re-measured here);
+  - selective per-channel weight-only int8 (utils/quantize.py, r4): the
+    sensitive tensors stay f32, >=2x smaller AND inside the budget — the
+    shipping quantization config.
 
 Runs fully on CPU (stock tf.lite.Interpreter; no TPU needed):
 
@@ -31,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(out_json: str = "QUANT_r03.json"):
+def main(out_json: str = "QUANT_r04.json"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -127,6 +134,34 @@ def main(out_json: str = "QUANT_r03.json"):
     e2e_l1_dyn_vs_f32 = float(np.abs(mel_dyn - mel_f32).mean())
     mel_spread = float(np.abs(mel_jax).mean())
 
+    # -- selective weight-only int8 (the r4 in-budget mode) --------------------
+    from edge_diffusion_tts_tpu.utils.quantize import (
+        load_quantized,
+        save_quantized,
+    )
+
+    w8_path, w8_report = save_quantized(os.path.join(tmp, "flag_w8.npz"),
+                                        params)
+    params_w8 = jax.tree.map(jnp.asarray, load_quantized(w8_path))
+    fwd_w8 = np.asarray(
+        decoder.apply(
+            {"params": params_w8}, jnp.asarray(x), jnp.asarray(t),
+            sem_idx=jnp.asarray(sem), step_idx=jnp.asarray(si),
+        )
+    )
+    fwd_l1_w8 = float(np.abs(fwd_w8 - ref).mean())
+
+    def gen_jax_params(p):
+        def model_fn(xx, tt, ii):
+            return decoder.apply(
+                {"params": p}, xx, tt, sem_idx=jnp.asarray(sem), step_idx=ii
+            )
+
+        return np.asarray(ddim_sample(schedule, model_fn, x_T, 4))
+
+    mel_w8 = gen_jax_params(params_w8)
+    e2e_l1_w8 = float(np.abs(mel_w8 - mel_jax).mean())
+
     report = {
         "config": {"hidden": cfg.hidden, "layers": cfg.layers,
                    "heads": cfg.heads, "B": B, "T": T, "S": S},
@@ -142,9 +177,22 @@ def main(out_json: str = "QUANT_r03.json"):
         "e2e_4step_mel_l1_dyntflite_vs_jax": e2e_l1_dyn,
         "e2e_4step_mel_l1_dyn_vs_f32tflite": e2e_l1_dyn_vs_f32,
         "e2e_mel_mean_abs": mel_spread,
-        "int8_mode_status": (
+        "weight_int8": {
+            "what": "selective per-channel weight-only int8 "
+                    "(utils/quantize.py; sensitive tensors kept f32)",
+            "artifact_bytes": w8_report["file_bytes"],
+            "in_memory_bytes": w8_report["quantized_bytes"],
+            "size_ratio_vs_f32_params": w8_report["ratio"],
+            "fwd_l1_vs_jax": fwd_l1_w8,
+            "e2e_4step_mel_l1_vs_jax": e2e_l1_w8,
+            "within_1e2_budget": bool(e2e_l1_w8 <= 1e-2),
+            "kept_f32": w8_report["kept_f32"],
+        },
+        "tflite_full_int8_mode_status": (
             "converts but stock-interpreter invoke ABORTS (TFLite kernel "
-            "bug, w/ and w/o XNNPACK); dynamic-range is the supported mode"
+            "bug, w/ and w/o XNNPACK); sidestepped by the native "
+            "weight_int8 mode above — dynamic-range remains the supported "
+            "TFLite mode (over budget, see e2e_4step_mel_l1_dyntflite)"
         ),
     }
     with open(out_json, "w") as f:
