@@ -31,7 +31,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from soak_train import make_corpus  # noqa: E402  (tools/ sibling)
+from soak_train import CORPORA  # noqa: E402  (tools/ sibling)
 
 
 def main():
@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--artifact", default="CEILING_r04.json")
+    ap.add_argument("--corpus", choices=sorted(CORPORA), default="harmonic")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
@@ -48,6 +49,13 @@ def main():
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent compile cache (see tools/soak_train.py).
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
 
     import jax.numpy as jnp
     import optax
@@ -69,8 +77,9 @@ def main():
         args.steps, args.chain = 6, 3
         n_train, n_val = 4, 2
 
-    train_wavs = make_corpus(n_train, cfg.segment_len, cfg.sample_rate, seed=100)
-    val_wavs = make_corpus(n_val, cfg.segment_len, cfg.sample_rate, seed=200)
+    corpus_fn = CORPORA[args.corpus]
+    train_wavs = corpus_fn(n_train, cfg.segment_len, cfg.sample_rate, seed=100)
+    val_wavs = corpus_fn(n_val, cfg.segment_len, cfg.sample_rate, seed=200)
 
     rng = jax.random.PRNGKey(0)
     rng, k_init = jax.random.split(rng)
@@ -194,8 +203,8 @@ def main():
             "date": time.strftime("%Y-%m-%d"),
             "steps": args.steps, "chain": args.chain, "lr": args.lr,
             "batch": cfg.batch_size,
-            "corpus": f"{n_train} train / {n_val} val synthetic harmonic "
-                      f"utterances (soak_train.make_corpus)",
+            "corpus": f"{n_train} train / {n_val} val synthetic {args.corpus} "
+                      f"utterances (soak_train.CORPORA)",
         },
         "ceiling": {
             "val_cos_best": best_val,

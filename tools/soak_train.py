@@ -65,6 +65,55 @@ def make_corpus(n_utts: int, segment_len: int, sample_rate: int, seed: int):
     return wavs
 
 
+def make_corpus_units(
+    n_utts: int, segment_len: int, sample_rate: int, seed: int,
+    n_units: int = 24, unit_secs: float = 0.16, bank_seed: int = 7,
+):
+    """Encoder-separable pseudo-speech: each utterance is a random SEQUENCE
+    of units from a shared bank of ``n_units`` stationary harmonic timbres
+    (unit-specific f0 + harmonic amplitude profile, 10 ms raised-cosine
+    joins).  Train and val share the BANK but not the sequences, so a
+    conditioning path that can classify the active unit per frame supports
+    near-perfect held-out reconstruction — unlike ``make_corpus``'s
+    continuously-varying f0/drift/vibrato, where a random-init frozen
+    HuBERT + 8-dim FSQ bottleneck caps achievable val_cos (measured by
+    tools/ceiling_oracle.py)."""
+    bank = np.random.RandomState(bank_seed)
+    f0s = np.exp(np.linspace(np.log(100.0), np.log(360.0), n_units))
+    amps = bank.uniform(0.2, 1.0, size=(n_units, 6))
+    rs = np.random.RandomState(seed)
+    t = np.arange(segment_len) / sample_rate
+    upl = max(int(unit_secs * sample_rate), 1)
+    n_per = segment_len // upl + 1
+    ramp = int(0.01 * sample_rate)
+    wavs = np.empty((n_utts, segment_len), np.float32)
+    for i in range(n_utts):
+        seq = rs.randint(0, n_units, size=n_per)
+        sig = np.zeros(segment_len)
+        for j, u in enumerate(seq):
+            s0, s1 = j * upl, min((j + 1) * upl, segment_len)
+            if s1 <= s0:
+                break
+            tt = t[s0:s1]
+            seg = sum(
+                amps[u, k] * np.sin(2 * np.pi * (k + 1) * f0s[u] * tt)
+                for k in range(6)
+            )
+            w = np.ones(s1 - s0)
+            r = min(ramp, (s1 - s0) // 2)
+            if r > 0:
+                w[:r] = 0.5 * (1 - np.cos(np.pi * np.arange(r) / r))
+                w[-r:] = w[:r][::-1]
+            sig[s0:s1] = seg * w
+        wavs[i] = (0.15 * sig + 0.005 * rs.randn(segment_len)).astype(
+            np.float32
+        )
+    return wavs
+
+
+CORPORA = {"harmonic": make_corpus, "units": make_corpus_units}
+
+
 class CorpusLoader:
     """Batched loader over a fixed corpus; reshuffles every epoch."""
 
@@ -122,7 +171,7 @@ def main():
                     help="multiply all phase epoch counts")
     ap.add_argument("--out", default="runs/soak_r04")
     ap.add_argument("--artifact", default="TRAIN_r04.json")
-    ap.add_argument("--chain", type=int, default=64,
+    ap.add_argument("--chain", type=int, default=40,
                     help="optimizer steps per device dispatch (1 = the old "
                          "one-dispatch-per-step driver)")
     ap.add_argument("--diffusion-epochs", type=int, default=None)
@@ -131,6 +180,9 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--lr-consistency", type=float, default=None)
     ap.add_argument("--consistency-weight", type=float, default=None)
+    ap.add_argument("--corpus", choices=sorted(CORPORA), default="harmonic",
+                    help="synthetic corpus family (units = encoder-separable"
+                         " unit sequences; see make_corpus_units)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU plumbing check (not the real soak)")
     args = ap.parse_args()
@@ -139,6 +191,16 @@ def main():
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent compilation cache (works through the axon tunnel,
+        # measured 1.8 s -> 0.47 s across processes): a prior warmup run
+        # makes the artifact run's ~12 phase programs compile ~instantly,
+        # so utt_per_sec measures the trainer, not XLA.
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
 
     from edge_diffusion_tts_tpu.config import CFG
     from edge_diffusion_tts_tpu.models.hubert import HubertConfig
@@ -195,9 +257,10 @@ def main():
         cfg.ckpt_every_steps = 0
         n_train, n_val = 4, 2
 
-    train_wavs = make_corpus(n_train, cfg.segment_len, cfg.sample_rate,
-                             seed=100)
-    val_wavs = make_corpus(n_val, cfg.segment_len, cfg.sample_rate, seed=200)
+    corpus_fn = CORPORA[args.corpus]
+    train_wavs = corpus_fn(n_train, cfg.segment_len, cfg.sample_rate,
+                           seed=100)
+    val_wavs = corpus_fn(n_val, cfg.segment_len, cfg.sample_rate, seed=200)
     train_loader = CorpusLoader(train_wavs, cfg.batch_size, seed=1)
     val_loader = CorpusLoader(val_wavs, cfg.batch_size, seed=2, shuffle=False)
 
@@ -261,8 +324,8 @@ def main():
                 "hubert": "full-size HuBERT-base (random init, frozen; "
                           "no pretrained weights / LJSpeech in this env)",
                 "batch_size": cfg.batch_size,
-                "corpus": "256 train / 32 val synthetic harmonic utterances, "
-                          "2 s @ 16 kHz (make_corpus)",
+                "corpus": f"{n_train} train / {n_val} val synthetic {args.corpus} "
+                          f"utterances, 2 s @ 16 kHz (CORPORA[{args.corpus!r}])",
             },
             "config": {
                 "lr": cfg.lr, "lr_consistency": cfg.lr_consistency,
