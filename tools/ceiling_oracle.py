@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--artifact", default="CEILING_r04.json")
     ap.add_argument("--corpus", choices=sorted(CORPORA), default="harmonic")
+    ap.add_argument("--n-train", type=int, default=256)
+    ap.add_argument("--hubert-layer", type=int, default=None,
+                    help="override cfg.hubert_layer (default 9; a RANDOM-"
+                         "init frozen HuBERT mixes away local spectral "
+                         "detail by layer 9 — shallower layers carry more "
+                         "conditioning signal)")
+    ap.add_argument("--n-val", type=int, default=32)
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
@@ -68,8 +75,10 @@ def main():
     cfg = CFG(seed=0, out_dir="runs/ceiling_r04", batch_size=args.batch,
               grad_accumulation=1, dropout=0.1, cfg_dropout=0.0,
               token_align_weight=0.0)
+    if args.hubert_layer is not None:
+        cfg.hubert_layer = args.hubert_layer
     hubert_cfg = HubertConfig()
-    n_train, n_val = 256, 32
+    n_train, n_val = args.n_train, args.n_val
     if args.smoke:
         hubert_cfg = HubertConfig.tiny()
         cfg.hidden, cfg.layers, cfg.heads = 16, 1, 2

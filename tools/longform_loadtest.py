@@ -49,6 +49,14 @@ def main():
         # CPU plumbing check: must not touch the tunneled single-client TPU
         # (the env var alone is ignored once the axon plugin registered).
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent XLA compilation cache (works through the tunnel):
+        # repeat runs skip the multi-minute warmup compiles.
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
     import numpy as np
 
     from edge_diffusion_tts_tpu.config import CFG

@@ -57,6 +57,14 @@ def main():
         # single-client TPU; the env var alone is ignored once the axon
         # plugin registered, so force through jax.config (CLAUDE.md).
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent XLA compilation cache (works through the tunnel):
+        # repeat runs skip the multi-minute warmup compiles.
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
     import numpy as np
 
     from edge_diffusion_tts_tpu.config import CFG

@@ -180,6 +180,13 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--lr-consistency", type=float, default=None)
     ap.add_argument("--consistency-weight", type=float, default=None)
+    ap.add_argument("--hubert-layer", type=int, default=None,
+                    help="override cfg.hubert_layer (see ceiling_oracle)")
+    ap.add_argument("--n-train", type=int, default=256,
+                    help="training corpus size (synthetic => free; larger "
+                         "closes the train/val generalization gap the "
+                         "ceiling oracle measures)")
+    ap.add_argument("--n-val", type=int, default=32)
     ap.add_argument("--corpus", choices=sorted(CORPORA), default="harmonic",
                     help="synthetic corpus family (units = encoder-separable"
                          " unit sequences; see make_corpus_units)")
@@ -237,12 +244,13 @@ def main():
         ("lr", args.lr),
         ("lr_consistency", args.lr_consistency),
         ("consistency_weight", args.consistency_weight),
+        ("hubert_layer", args.hubert_layer),
     ):
         if val is not None:
             setattr(cfg, name, val)
     cfg.ckpt_path = os.path.join(args.out, "checkpoint_latest")
     hubert_cfg = HubertConfig()       # full-size ~95M (random init, frozen)
-    n_train, n_val = 256, 32
+    n_train, n_val = args.n_train, args.n_val
     if args.smoke:
         hubert_cfg = HubertConfig.tiny()
         cfg.hidden, cfg.layers, cfg.heads = 16, 1, 2
