@@ -212,6 +212,16 @@ class CFG:
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0  # 0 = one microbatch per pipeline stage
 
+    # Best-model checkpointing threshold: a new val_cos must beat the best
+    # by this margin before best_model is (re)written.  Every save writes
+    # the full state (incl. the 380 MB frozen HuBERT) — ~10 s on this box —
+    # so saving on every epsilon improvement dominates a fast trainer's
+    # wall-clock (see TRAIN_r04 throughput notes).
+    best_min_delta: float = 0.0
+    # Chained-dispatch driver only: validate every N epoch crossings
+    # (1 = every epoch, the per-step driver's cadence).
+    validate_every_epochs: int = 1
+
     # ===== LOGGING / EVAL =====
     log_every_steps: int = 50
     val_every_steps: int = 200

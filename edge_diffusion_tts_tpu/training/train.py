@@ -596,7 +596,7 @@ def train(
             k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]
         }
         writer.write(int(state.step), agg, prefix=f"{tag}/")
-        if agg.get("val_cos", -1e9) > best_val_cos:
+        if agg.get("val_cos", -1e9) > best_val_cos + cfg.best_min_delta:
             best_val_cos = agg["val_cos"]
             # v2 semantics: best_model.pt on val_cos (train_v2.py:331-341);
             # the mid-epoch eval hook owns best_diffusion (v1 semantics).
@@ -655,7 +655,8 @@ def train(
                         hook(step - step % every, state)
                 else:
                     hook(step, state)
-            if step // spe > prev // spe:
+            every = max(int(cfg.validate_every_epochs), 1) * spe
+            if step // every > prev // every:
                 done = step - start
                 print(
                     f"  [{tag}] epoch {done // spe}/{epochs} step {step} "

@@ -233,9 +233,14 @@ def main():
         val_batches=1,
         plot_every_steps=4000,
         ckpt_every_steps=4000,
-        dropout=0.1,                  # 256-utt corpus: less reg than LJSpeech
+        dropout=0.1,                  # small synthetic corpus: light reg
         cfg_dropout=0.1,
         steps_per_dispatch=max(args.chain, 1),
+        # Throughput: every best_model save writes the full state incl. the
+        # 380 MB frozen HuBERT (~10 s); validate once per 5 epochs and only
+        # re-save on a >= 0.01 val_cos improvement.
+        best_min_delta=0.01,
+        validate_every_epochs=5,
     )
     for name, val in (
         ("diffusion_epochs", args.diffusion_epochs),
