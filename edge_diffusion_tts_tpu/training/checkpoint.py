@@ -29,6 +29,8 @@ _HUBERT_FILE = "hubert.json"
 _META_FILE = "meta.json"
 _TMP_SUFFIX = ".tmp"
 _STALE_SUFFIX = ".stale"
+_FROZEN_DIR = "frozen_hubert"
+_FROZEN_KEY = "frozen_external"
 
 
 def resolve_checkpoint_dir(path: str) -> Optional[str]:
@@ -65,6 +67,7 @@ def save_checkpoint(
     meta: Optional[dict] = None,
     frozen_host: Optional[Any] = None,
     hubert_cfg: Optional[HubertConfig] = None,
+    dedup_frozen: bool = False,
 ):
     """Save the full train state + cfg (+ free-form meta) at ``path``.
 
@@ -75,12 +78,35 @@ def save_checkpoint(
     tunnel (~50 MB/s D2H) that turns an ~8-minute save into ~1 s.  The
     on-disk format is unchanged; the subtree is frozen by construction
     (state.make_optimizer masks it out), so values are identical.
+
+    ``dedup_frozen`` (requires ``frozen_host``): additionally skip WRITING
+    the 380 MB frozen subtree on every save — it is written ONCE to a
+    ``frozen_hubert/`` sibling and the checkpoint's meta records the
+    reference; restore re-injects it transparently.  Hot periodic/best
+    saves go from ~13 s of disk writes to sub-second (best_model was
+    dominating the chained trainer's wall-clock, TRAIN_r04).  The
+    checkpoint directory is then only complete together with its sibling —
+    use the default for portable, self-contained artifacts (phase-end,
+    final).
     """
     path = os.path.abspath(path)
     if frozen_host is not None and "hubert" in state.params.get("encoder", {}):
-        state = state.replace(
-            params=_substitute_hubert(state.params, frozen_host)
-        )
+        if dedup_frozen:
+            shared = os.path.join(os.path.dirname(path), _FROZEN_DIR)
+            if not os.path.isdir(os.path.join(shared, "params")):
+                ocp.PyTreeCheckpointer().save(
+                    os.path.join(shared, "params"), frozen_host, force=True
+                )
+            enc = dict(state.params["encoder"])
+            enc.pop("hubert")
+            prm = dict(state.params)
+            prm["encoder"] = enc
+            state = state.replace(params=prm)
+            meta = dict(meta or {}, **{_FROZEN_KEY: _FROZEN_DIR})
+        else:
+            state = state.replace(
+                params=_substitute_hubert(state.params, frozen_host)
+            )
     # Atomic against crashes: the periodic save overwrites the single
     # elastic-restart checkpoint in place, so a crash mid-save must never
     # leave a state/ dir without its cfg/meta (or delete the previous save
@@ -113,7 +139,23 @@ def restore_checkpoint(
     and dtypes/shardings; without it, arrays restore as host numpy."""
     path = resolve_checkpoint_dir(path) or os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
+    meta_path = os.path.join(path, _META_FILE)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    # Deduplicated checkpoints store the frozen HuBERT subtree once in a
+    # sibling dir (save_checkpoint dedup_frozen=True); strip it from the
+    # template before restoring the state, re-inject after.
+    frozen_rel = meta.get(_FROZEN_KEY)
     if state_template is not None:
+        if frozen_rel and "hubert" in state_template.params.get("encoder", {}):
+            enc = dict(state_template.params["encoder"])
+            enc.pop("hubert")
+            prm = dict(state_template.params)
+            prm["encoder"] = enc
+            state_template = state_template.replace(params=prm)
+
         def _restore_with(template):
             item = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
             return ckptr.restore(os.path.join(path, "state"), item=item)
@@ -135,15 +177,17 @@ def restore_checkpoint(
         state = ckptr.restore(os.path.join(path, "state"))
     with open(os.path.join(path, _CFG_FILE)) as f:
         cfg = CFG.from_json(f.read())
-    meta_path = os.path.join(path, _META_FILE)
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
     if not isinstance(state, TrainState):
         # The template-less restore hands back orbax's raw dict; wrap it so
         # the declared TrainState return type holds in both branches.
         state = TrainState(**state)
+    if frozen_rel:
+        frozen = ocp.PyTreeCheckpointer().restore(
+            os.path.join(os.path.dirname(path), frozen_rel, "params")
+        )
+        state = state.replace(
+            params=_substitute_hubert(state.params, frozen)
+        )
     return state, cfg, meta
 
 

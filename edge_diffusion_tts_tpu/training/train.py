@@ -524,7 +524,7 @@ def train(
                 save_checkpoint(cfg.ckpt_path, st, cfg,
                                 {"step": step, **progress},
                                 frozen_host=_frozen_host(st),
-                                hubert_cfg=hubert_cfg)
+                                hubert_cfg=hubert_cfg, dedup_frozen=True)
 
         _periodic_ckpt.every = cfg.ckpt_every_steps
         hooks = (hooks or []) + [_periodic_ckpt]
@@ -569,6 +569,7 @@ def train(
                     os.path.join(run_dir, "best_diffusion"), st, cfg,
                     {"val_eps_mse": mean, "step": step},
                     frozen_host=_frozen_host(st), hubert_cfg=hubert_cfg,
+                    dedup_frozen=True,
                 )
 
         _mid_epoch_eval.every = cfg.val_every_steps
@@ -604,6 +605,7 @@ def train(
                 os.path.join(run_dir, "best_model"), state, cfg,
                 {"val_cos": best_val_cos, "phase": tag},
                 frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg,
+                dedup_frozen=True,
             )
 
     def _run_phase_chained(step_fn, state, epochs, prefix, tag, phase_hooks):

@@ -902,3 +902,44 @@ def test_train_driver_chained_smoke(tmp_path):
             if any(k.startswith("train/") for k in rec):
                 steps_logged.add(rec["step"])
     assert steps_logged == {1, 2, 3, 4}
+
+
+def test_checkpoint_dedup_frozen_roundtrip(setup, tmp_path):
+    """dedup_frozen=True writes the frozen HuBERT subtree ONCE to a sibling
+    dir; subsequent saves skip it and restores re-inject it bit-exactly
+    (with and without a state template)."""
+    import glob
+
+    cfg, trainer, state, batch = setup
+    state = jax.tree.map(jnp.copy, state)
+    frozen_host = jax.device_get(state.params["encoder"]["hubert"])
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, state, cfg, {"step": 1},
+                    frozen_host=frozen_host, dedup_frozen=True)
+    shared = os.path.join(str(tmp_path), "frozen_hubert", "params")
+    assert os.path.isdir(shared)
+    stamps = {f: os.path.getmtime(f)
+              for f in glob.glob(shared + "/**", recursive=True)}
+
+    # A second save must not rewrite the shared subtree.
+    state2 = state.replace(step=state.step + 1)
+    save_checkpoint(path, state2, cfg, {"step": 2},
+                    frozen_host=frozen_host, dedup_frozen=True)
+    for f, m in stamps.items():
+        assert os.path.getmtime(f) == m, f"shared subtree rewritten: {f}"
+
+    expect_step = int(state.step) + 1
+    for template in (state, None):
+        restored, _, meta = restore_checkpoint(path, template)
+        assert meta["frozen_external"] == "frozen_hubert"
+        assert int(restored.step) == expect_step
+        for (p_a, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(
+                restored.params["encoder"]["hubert"])[0],
+            jax.tree_util.tree_flatten_with_path(frozen_host)[0],
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # non-frozen params intact too
+        a0 = jax.tree.leaves(restored.params["decoder"])[0]
+        b0 = jax.tree.leaves(state.params["decoder"])[0]
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))

@@ -192,6 +192,11 @@ def main():
                          " unit sequences; see make_corpus_units)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU plumbing check (not the real soak)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir or 'auto' — completed phases are "
+                         "skipped (train.py phase-skip meta); totals are "
+                         "then computed from metrics.jsonl run segments so "
+                         "a resumed soak reports full-run throughput")
     args = ap.parse_args()
 
     import jax
@@ -280,11 +285,29 @@ def main():
     t0 = time.time()
     state = train(
         cfg, train_loader=train_loader, val_loader=val_loader,
-        hubert_cfg=hubert_cfg,
+        hubert_cfg=hubert_cfg, resume=args.resume,
         phases=["diffusion", "progressive", "consistency"],
     )
     wall = time.time() - t0
     total_steps = int(state.step)
+
+    # Active wall-clock across run segments: a resumed soak (crash ->
+    # --resume) must not count the dead time between runs, nor divide the
+    # full step count by only the last segment's wall.  metrics.jsonl
+    # timestamps are ground truth; a >300 s gap between consecutive records
+    # marks a run break.
+    times = []
+    metrics_path = os.path.join(cfg.get_run_dir(), "metrics.jsonl")
+    with open(metrics_path) as f:
+        for line in f:
+            times.append(json.loads(line)["time"])
+    active_wall, seg_start = 0.0, times[0]
+    for prev, cur in zip(times, times[1:]):
+        if cur - prev > 300.0:
+            active_wall += prev - seg_start
+            seg_start = cur
+    active_wall += times[-1] - seg_start
+    wall = active_wall if args.resume else wall
 
     # ---- end-of-run scoring: the consistency-training property --------------
     # Same scoring path as tests/test_training.py::
@@ -328,6 +351,7 @@ def main():
             "what": "full-scale 3-phase training soak (tools/soak_train.py)",
             "device": jax.devices()[0].device_kind,
             "commit": commit,
+            "resumed_from": args.resume,
             "date": time.strftime("%Y-%m-%d"),
             "recipe": "diffusion -> progressive halvings 1000->4 -> consistency "
                       "(reference train.py:25-307)",
