@@ -244,7 +244,8 @@ def main(argv=None):
         if sr != cfg.sample_rate:
             wav = resample_np(wav, sr, cfg.sample_rate)
 
-        encoder = SemanticEncoder(cfg, restore_hubert_config(args.checkpoint))
+        hubert_cfg = restore_hubert_config(args.checkpoint)
+        encoder = SemanticEncoder(cfg, hubert_cfg)
         decoder = EdgeDiffusionDecoder(cfg)
         pipe = LongFormPipeline(
             cfg,
@@ -257,6 +258,7 @@ def main(argv=None):
                 variables, w, train=False, **kw
             )[0],
             encoder_params=encoder_variables(params),
+            sem_stride=hubert_cfg.total_stride,
         )
         if args.stream:
             # Live-serving path: append ONLY each increment's PCM bytes and

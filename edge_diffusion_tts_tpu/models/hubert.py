@@ -47,6 +47,18 @@ class HubertConfig:
     num_conv_pos_embedding_groups: int = 16
     layer_norm_eps: float = 1e-5
 
+    @property
+    def total_stride(self) -> int:
+        """Samples per output latent (320 for hubert-base: 20 ms at 16 kHz).
+
+        The long-form pipeline's chunk->latent slicing follows this rate
+        (LongFormPipeline.sem_stride); a mismatched rate silently reads the
+        wrong features (discovered: HubertConfig.tiny has stride 20, so a
+        serving test on it fetched 16x the latents AND sliced the wrong
+        sixteenth — use tiny320 for anything that exercises the chunk
+        geometry)."""
+        return int(np.prod(self.conv_stride))
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
@@ -59,11 +71,29 @@ class HubertConfig:
 
     @classmethod
     def tiny(cls) -> "HubertConfig":
-        """Small config for tests."""
+        """Small config for tests (NOTE: total_stride 20, not the real 320 —
+        fine for unit tests of the encoder itself; use ``tiny320`` where the
+        20 ms latent rate matters, e.g. the long-form chunk pipeline)."""
         return cls(
             conv_dim=(16, 16, 16),
             conv_kernel=(10, 3, 3),
             conv_stride=(5, 2, 2),
+            hidden_size=32,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=64,
+            num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+        )
+
+    @classmethod
+    def tiny320(cls) -> "HubertConfig":
+        """Small config with the REAL 320-sample total stride: cheap encode
+        at the production 20 ms latent rate (serving/long-form tests)."""
+        return cls(
+            conv_dim=(16, 16, 16, 16, 16),
+            conv_kernel=(10, 4, 4, 2, 2),
+            conv_stride=(5, 4, 4, 2, 2),
             hidden_size=32,
             num_layers=2,
             num_heads=4,

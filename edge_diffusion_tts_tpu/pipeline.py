@@ -51,6 +51,7 @@ class LongFormPipeline:
         overlap_seconds: float = 0.5,
         mesh=None,
         prep_buckets=None,
+        sem_stride: int = 320,
     ):
         self.cfg = cfg
         self.schedule = schedule
@@ -74,6 +75,12 @@ class LongFormPipeline:
             f_min=cfg.f_min,
             f_max=cfg.f_max,
         )
+        # Samples per semantic latent (hubert-base conv stack: 320 = 20 ms
+        # at 16 kHz).  The chunk->latent slicing, the prep's pad-to-valid,
+        # and the serving warmup's S all follow this; pass the encoder's
+        # HubertConfig.total_stride when it isn't the production stack
+        # (run_server derives it from the checkpoint's hubert.json).
+        self.sem_stride = int(sem_stride)
         self.chunk_samples = int(chunk_seconds * cfg.sample_rate)
         self.overlap_samples = int(overlap_seconds * cfg.sample_rate)
         self.hop_samples = self.chunk_samples - self.overlap_samples
@@ -405,10 +412,11 @@ class LongFormPipeline:
                 n_true = max(
                     1, -(-(total - self.overlap_samples) // self.hop_samples)
                 )
-                # The unbucketed path encodes the wav padded up to x320; pass
-                # that length as the mask boundary so both paths see the same
-                # effective input.
-                enc_len = total + (320 - total % 320) % 320
+                # The unbucketed path encodes the wav padded up to a whole
+                # latent (x sem_stride); pass that length as the mask
+                # boundary so both paths see the same effective input.
+                st = self.sem_stride
+                enc_len = total + (st - total % st) % st
                 wav_b = np.zeros((1, pad_to), np.float32)
                 wav_b[:, :total] = np.asarray(wav)
                 out = self._prep_bucket_jit(
@@ -434,7 +442,8 @@ class LongFormPipeline:
             1,
             -(-(total - self.overlap_samples) // self.hop_samples),
         )
-        pad320 = (320 - total % 320) % 320
+        st = self.sem_stride
+        pad320 = (st - total % st) % st
         wav_320 = jnp.pad(wav, ((0, 0), (0, pad320)))
         if wav_len is None:
             z = self.encoder_apply(enc_params, wav_320)
@@ -458,12 +467,14 @@ class LongFormPipeline:
     # -- full pipeline -------------------------------------------------------
 
     def encode_global(self, wav_16k: jnp.ndarray) -> jnp.ndarray:
-        """Global semantic features for the whole utterance (pad to x320)."""
+        """Global semantic features for the whole utterance (pad to a whole
+        latent)."""
         if self.encoder_apply is None:
             raise ValueError("pipeline constructed without an encoder")
         T = wav_16k.shape[-1]
-        if T % 320:
-            wav_16k = jnp.pad(wav_16k, ((0, 0), (0, 320 - T % 320)))
+        st = self.sem_stride
+        if T % st:
+            wav_16k = jnp.pad(wav_16k, ((0, 0), (0, st - T % st)))
         return self.encoder_apply(self.encoder_params, wav_16k)
 
     def generate(
@@ -769,7 +780,7 @@ class ChunkStream:
         self.window = np.ones((1, pipe.chunk_frames), np.float32)
         self.window[0, :fade] = np.linspace(0, 1, fade)
         self.window[0, -fade:] = np.linspace(1, 0, fade)
-        self.sem_per_chunk = pipe.chunk_samples // 320
+        self.sem_per_chunk = pipe.chunk_samples // pipe.sem_stride
         self.prev_tail = None
         self.emitted = 0
         self.i = 0
@@ -786,6 +797,25 @@ class ChunkStream:
             (self.z_q_global, self._mean, self._std,
              self._k_noise, self._k_ref) = self._prep()
             self._prep = None
+            # Loud guard: if the encoder's actual latent rate disagrees
+            # with pipe.sem_stride, every chunk would silently slice the
+            # wrong features (HubertConfig.tiny emits at stride 20, not
+            # 320).  The encode input is the wav padded up to a whole
+            # latent (bucketed prep: up to the bucket), so the true count
+            # is within one frame of padded_len/sem_stride.
+            n_lat = self.z_q_global.shape[1]
+            st = self.pipe.sem_stride
+            buckets = self.pipe.prep_buckets
+            padded = next((b for b in buckets if b >= self.total), self.total) \
+                if buckets else self.total
+            expect = (padded + st - 1) // st
+            if not (0.5 * expect <= n_lat <= 2.0 * expect):
+                raise ValueError(
+                    f"encoder produced {n_lat} latents for {padded} samples "
+                    f"but pipe.sem_stride={st} expects ~{expect}: construct "
+                    f"LongFormPipeline with sem_stride="
+                    f"hubert_cfg.total_stride"
+                )
 
     @property
     def done(self) -> bool:
@@ -800,7 +830,7 @@ class ChunkStream:
         pipe, cfg = self.pipe, self.pipe.cfg
         k_noise, k_ref = self._k_noise[self.i], self._k_ref[self.i]
         s0 = self.i * pipe.hop_samples
-        lat0 = s0 // 320
+        lat0 = s0 // pipe.sem_stride
         z_chunk = self.z_q_global[:, lat0 : lat0 + self.sem_per_chunk, :]
         if z_chunk.shape[1] < self.sem_per_chunk:
             z_chunk = np.pad(

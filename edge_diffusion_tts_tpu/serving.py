@@ -425,7 +425,7 @@ class LongFormScheduler:
         pipe = self.pipe
         T = pipe.chunk_frames
         M = pipe.cfg.n_mels
-        S = pipe.chunk_samples // 320
+        S = pipe.chunk_samples // pipe.sem_stride
         D = pipe.cfg.semantic_dim
         key = np.zeros((2,), np.uint32)  # any valid PRNG key data
         B = self.row_quantum
@@ -920,7 +920,8 @@ def run_server(
             restore_hubert_config,
         )
 
-        encoder = SemanticEncoder(cfg, restore_hubert_config(checkpoint))
+        lf_hubert_cfg = restore_hubert_config(checkpoint)
+        encoder = SemanticEncoder(cfg, lf_hubert_cfg)
         lf_mesh = None
         if mesh:
             # Same data-axis mesh as the token path: scheduler ticks shard
@@ -948,6 +949,9 @@ def run_server(
             prep_buckets=[
                 int(s * cfg.sample_rate) for s in longform_prep_buckets
             ] if longform_prep_buckets else None,
+            # Chunk->latent slicing follows the checkpoint's actual conv
+            # stack (320 for hubert-base; test checkpoints may differ).
+            sem_stride=lf_hubert_cfg.total_stride,
         )
         longform_fn = make_longform_fn(pipe, max_streams=longform_streams)
 

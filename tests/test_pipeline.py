@@ -491,6 +491,7 @@ def bucketed_pipes():
             encoder_apply=encoder_apply, encoder_params=variables,
             chunk_seconds=0.5, overlap_seconds=0.125,
             prep_buckets=buckets,
+            sem_stride=hc.total_stride,
         )
 
     sr = cfg.sample_rate
@@ -581,3 +582,42 @@ def test_stream_prep_oversize_falls_back(bucketed_pipes):
 
 # (the pre-r4 behavior — oversize wavs raising ValueError — was replaced by
 # the warn-and-fall-back path, tested in test_stream_prep_oversize_falls_back)
+
+
+def test_sem_stride_mismatch_guard(tiny_pipeline):
+    """An encoder emitting latents at a different rate than pipe.sem_stride
+    must fail LOUDLY at prep fetch, not silently slice the wrong features
+    (HubertConfig.tiny emits at stride 20, the production stack at 320)."""
+    from edge_diffusion_tts_tpu.pipeline import ChunkStream
+
+    cfg, pipe = tiny_pipeline
+    bad = LongFormPipeline(
+        cfg, pipe.schedule, pipe.decoder_apply, pipe.decoder_params,
+        # 1 latent per 20 samples, i.e. 16x what sem_stride=320 expects.
+        encoder_apply=lambda _, wav: jnp.zeros(
+            (wav.shape[0], wav.shape[-1] // 20, cfg.semantic_dim)
+        ),
+        encoder_params={},
+        chunk_seconds=0.5, overlap_seconds=0.125,
+    )
+    wav = np.zeros((1, 8000), np.float32)
+    st = ChunkStream(bad, wav, steps=2)
+    with pytest.raises(ValueError, match="sem_stride"):
+        st.next_job()
+    # The matched-rate pipeline accepts the same wav.
+    ChunkStream(pipe, wav, steps=2).next_job()
+
+
+def test_hubert_tiny320_total_stride():
+    from edge_diffusion_tts_tpu.models.hubert import (
+        HubertConfig, conv_frame_lengths,
+    )
+
+    hc = HubertConfig.tiny320()
+    assert hc.total_stride == 320
+    assert HubertConfig().total_stride == 320   # hubert-base
+    assert HubertConfig.tiny().total_stride == 20
+    # Frame math agrees with the real base stack at the chunk size.
+    assert conv_frame_lengths(hc, 32000)[-1] == conv_frame_lengths(
+        HubertConfig(), 32000
+    )[-1]

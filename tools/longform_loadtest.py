@@ -78,7 +78,12 @@ def main():
         steps, secs, streams = 50, 8.0, 4
         chunk_s, overlap_s = 2.0, 0.5
 
-    hc = HubertConfig.tiny()
+    # tiny320: cheap encode at the REAL 320-sample latent rate.  Plain
+    # tiny() has total stride 20, which inflated every stream's prep fetch
+    # 16x (3.3 MB of latents D2H through the ~25 MB/s tunnel, ~130 ms per
+    # stream serializing at submit) AND sliced the wrong features —
+    # SERVE_LF_r03's 616 ms TTFI was mostly this test artifact.
+    hc = HubertConfig.tiny320()
     key = jax.random.PRNGKey(0)
     _, _, params, vq_state = init_models(cfg, key, hc)
     ckpt = tempfile.mkdtemp(prefix="edt_lf_ckpt_") + "/final"
