@@ -771,6 +771,12 @@ class TTSServer(socketserver.ThreadingTCPServer):
 
     allow_reuse_address = True
     daemon_threads = True
+    # Accept-backlog sized for bursty connection-per-request clients.  The
+    # socketserver default (5) overflows the SYN queue under concurrent
+    # load and the kernel retransmits after 1 s — measured as a pure
+    # transport p99 tail at c=32 (p99 1,315 ms vs p95 352 ms while the
+    # batcher's own queue delay maxed at 273 ms, SERVE_LOAD_r04.json).
+    request_queue_size = 128
 
     def __init__(self, addr, batcher: MicroBatcher, longform_fn=None):
         super().__init__(addr, _Handler)
