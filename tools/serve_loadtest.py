@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--levels", type=str, default="1,8,32",
                     help="closed-loop concurrency levels")
     ap.add_argument("--requests-per-client", type=int, default=12)
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="batcher max_batch (rows per device program); the "
+                         "batch pads to exactly this row count, so raising "
+                         "it costs one compile and amortizes the fixed "
+                         "dispatch over more requests")
     ap.add_argument("--slo", type=float, default=None,
                     help="max_queue_delay_ms for the batcher: shed submits "
                          "whose predicted queueing delay exceeds this "
@@ -82,7 +87,7 @@ def main():
         per_client = 4
     else:
         cfg = CFG(out_dir=tempfile.mkdtemp(prefix="edt_load_"))
-        buckets, max_batch, steps = (256,), 8, 4
+        buckets, max_batch, steps = (256,), args.max_batch, 4
         len_lo, len_hi = 160, 250
         levels = [int(x) for x in args.levels.split(",")]
         per_client = args.requests_per_client
