@@ -54,6 +54,11 @@ def main():
                          "(clients count the rejection and retry after a "
                          "short backoff)")
     args = ap.parse_args()
+    if args.max_batch < 1:
+        ap.error(f"--max-batch must be >= 1 (got {args.max_batch})")
+    if args.smoke and args.max_batch != ap.get_default("max_batch"):
+        print(f"warning: --smoke pins max_batch=4; ignoring "
+              f"--max-batch {args.max_batch}", file=sys.stderr)
 
     import jax
 
