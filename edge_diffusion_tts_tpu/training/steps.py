@@ -25,7 +25,7 @@ import optax
 
 from ..config import CFG
 from ..ops.mel import MelFrontend
-from ..schedule import DiffusionSchedule, DPMSolverPP, _bcast
+from ..schedule import DiffusionSchedule, DPMSolverPP, _bcast, ddim_sample
 from ..utils.audio import normalize_mel
 from .state import TrainState, ema_update
 
@@ -818,6 +818,53 @@ class Trainer:
                 )
 
             x0 = solver.sample(model_fn, x_T, num_steps, max_t=cfg.max_timestep)
+            return {
+                "val_cos": _cosine_sim(x0, mel_n),
+                "val_mse": _mse(x0, mel_n),
+            }
+
+        return validate
+
+    def make_validate_ddim_fn(
+        self, num_steps: int, conditioning: str = "tokens",
+    ) -> Callable:
+        """Few-step RAW DDIM validation — the sampler the distillation phases
+        exist to serve (reference inference.py:44-51 runs this exact loop at
+        1-4 steps; DPM-Solver++ in make_validate_fn is a stronger sampler
+        that can mask a few-step-raw-DDIM deficit, VERDICT r4 item 2).
+
+        Returns a jitted ``(params, vq_state, batch, rng) -> metrics`` fn.
+        Uses the model's trained prediction space (v by default) and the
+        step_idx grid ddim_sample feeds the step embedding.
+        """
+        cfg = self.cfg
+        schedule = self.schedule
+        if conditioning not in ("features", "tokens"):
+            raise ValueError(f"unknown conditioning {conditioning!r}")
+
+        @jax.jit
+        def validate(params, vq_state, batch, rng):
+            k_enc, k_x = jax.random.split(rng)
+            mel_n = self._mel_normalized(batch["wav"])
+            (z_q, sem_idx, _, _, _), _ = self._encode(
+                params, vq_state, batch, k_enc, train=False
+            )
+            x_T = jax.random.normal(k_x, mel_n.shape, mel_n.dtype)
+
+            def model_fn(x, t, step_idx):
+                kw = (
+                    dict(sem_features=z_q)
+                    if conditioning == "features"
+                    else dict(sem_idx=sem_idx)
+                )
+                return self._decode(
+                    params["decoder"], x, t, step_idx=step_idx, **kw
+                )
+
+            x0 = ddim_sample(
+                schedule, model_fn, x_T, num_steps,
+                prediction="v" if cfg.use_v_prediction else "eps",
+            )
             return {
                 "val_cos": _cosine_sim(x0, mel_n),
                 "val_mse": _mse(x0, mel_n),

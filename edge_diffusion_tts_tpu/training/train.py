@@ -206,6 +206,7 @@ def train(
     hubert_cfg: Optional[HubertConfig] = None,
     phases: Optional[List[str]] = None,
     hooks: Optional[List[Callable]] = None,
+    phase_end_hook: Optional[Callable] = None,
     export: bool = False,
 ) -> TrainState:
     """Full training run.  Returns the final TrainState.
@@ -214,6 +215,11 @@ def train(
     all three, the reference recipe).  ``train_loader``/``val_loader`` may be
     any iterable of {"wav": [B, segment_len]} dicts; when None, LJSpeech
     loaders are built from cfg (requires the dataset on disk).
+
+    ``phase_end_hook(tag, state)`` fires once per completed training stage
+    with tags "init", "diffusion", "prog{N}" per halving, "consistency" —
+    the per-phase measurement point for e.g. raw-DDIM few-step quality
+    (tools/soak_train.py).  Skipped (resumed) phases do not fire.
     """
     rng = cfg.setup_environment()
     cfg.print_config()
@@ -668,6 +674,12 @@ def train(
                 _maybe_validate(state, tag)
         return state, metrics
 
+    def _phase_end(tag: str, st: TrainState):
+        if phase_end_hook is not None:
+            phase_end_hook(tag, st)
+
+    _phase_end("init", state)
+
     # ---- Phase 1: diffusion ------------------------------------------------
     if "diffusion" in phases and _phase_done("diffusion"):
         print("Phase 1: diffusion — already complete in checkpoint, skipping")
@@ -698,6 +710,7 @@ def train(
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase1"), state, cfg,
                         {"phase_complete": "diffusion"},
                         frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg)
+        _phase_end("diffusion", state)
 
     # ---- Phase 2: progressive distillation ---------------------------------
     if "progressive" in phases and _phase_done("progressive"):
@@ -741,6 +754,7 @@ def train(
                 f"loss={float(metrics.get('loss', float('nan'))):.4f}"
             )
             _maybe_validate(state, f"prog{target_steps}")
+            _phase_end(f"prog{target_steps}", state)
         save_checkpoint(os.path.join(run_dir, "checkpoint_phase2"), state, cfg,
                         {"phase_complete": "progressive"},
                         frozen_host=_frozen_host(state), hubert_cfg=hubert_cfg)
@@ -778,6 +792,7 @@ def train(
                     f"loss={float(metrics.get('loss', float('nan'))):.4f}"
                 )
                 _maybe_validate(state, "consistency")
+        _phase_end("consistency", state)
 
     final_params = state.params
     if pp_packed:

@@ -31,7 +31,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from soak_train import CORPORA  # noqa: E402  (tools/ sibling)
+from soak_train import CORPORA, corpus_cached  # noqa: E402  (tools/ sibling)
 
 
 def main():
@@ -86,9 +86,10 @@ def main():
         args.steps, args.chain = 6, 3
         n_train, n_val = 4, 2
 
-    corpus_fn = CORPORA[args.corpus]
-    train_wavs = corpus_fn(n_train, cfg.segment_len, cfg.sample_rate, seed=100)
-    val_wavs = corpus_fn(n_val, cfg.segment_len, cfg.sample_rate, seed=200)
+    train_wavs = corpus_cached(args.corpus, n_train, cfg.segment_len,
+                               cfg.sample_rate, seed=100)
+    val_wavs = corpus_cached(args.corpus, n_val, cfg.segment_len,
+                             cfg.sample_rate, seed=200)
 
     rng = jax.random.PRNGKey(0)
     rng, k_init = jax.random.split(rng)

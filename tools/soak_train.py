@@ -111,7 +111,227 @@ def make_corpus_units(
     return wavs
 
 
-CORPORA = {"harmonic": make_corpus, "units": make_corpus_units}
+def make_corpus_formant(
+    n_utts: int, segment_len: int, sample_rate: int, seed: int,
+    n_speakers: int = 8, bank_seed: int = 11, noise_amp: float = 2e-4,
+):
+    """Multi-speaker formant-synthesis pseudo-speech (round-5 corpus).
+
+    Built to raise the conditioning ceiling (VERDICT r4 item 3) while being
+    speech-like where the reference's LJSpeech is (F0 contours, formant
+    glides, amplitude envelopes, fricatives, silences):
+
+      - 8 speakers: log-spaced base F0 (100-240 Hz) x discrete vocal-tract
+        scale (0.85-1.15) shared by train and val (the BANK).
+      - syllable stream: consonant (fricative /s,sh,f/, nasal, or stop
+        silence) + vowel (10-vowel F1/F2/F3 chart), durations 80-160 ms
+        QUANTIZED TO THE HUBERT 20 ms FRAME GRID so a frame-classifying
+        conditioning path can in principle reconstruct the utterance.
+      - F0 = base x per-syllable accent {0.92, 1.0, 1.10} x linear 1.1->0.9
+        declination x 1% 5.5 Hz vibrato; voiced source = harmonics with
+        1/k^0.8 rolloff through 3 Lorentzian formant resonances; 40 ms
+        raised-cosine formant glides from the consonant locus.
+      - fricatives = fixed-phase inharmonic partial banks (deterministic
+        given phoneme identity -> predictable mel, unlike white noise which
+        would cap achievable val_cos).
+      - per-phoneme amplitude levels with 10 ms raised-cosine joins, 100 ms
+        final silence, per-utterance RMS normalization.
+
+    Everything audible is a deterministic function of (speaker, phoneme
+    sequence, accents, durations); the only stochastic term is a -60 dB
+    noise floor.  Train and val share the bank but not the sequences.
+    """
+    bank = np.random.RandomState(bank_seed)
+    frame = 320                      # HuBERT hop: phoneme-boundary quantum
+    dt = 80                          # coarse control grid (5 ms)
+    n_c = segment_len // dt + 2
+    tc = np.arange(n_c) * dt / sample_rate
+    K = 64                           # voiced harmonics
+    ks = np.arange(1, K + 1, dtype=np.float64)
+
+    # ---- shared bank -------------------------------------------------------
+    f0_bases = np.exp(np.linspace(np.log(100.0), np.log(240.0), n_speakers))
+    vt_scales = np.linspace(0.85, 1.15, n_speakers)[bank.permutation(n_speakers)]
+    vowels = np.array([                       # (F1, F2, F3) Hz
+        [270, 2290, 3010], [390, 1990, 2550], [530, 1840, 2480],
+        [660, 1720, 2410], [730, 1090, 2440], [570, 840, 2410],
+        [450, 1030, 2380], [440, 1020, 2240], [300, 870, 2240],
+        [640, 1190, 2390],
+    ], np.float64)
+    bws = np.array([70.0, 100.0, 140.0])      # formant bandwidths
+    nasal_f = np.array([250.0, 1100.0, 2300.0])
+    loci = {                                   # consonant -> glide locus
+        "s": np.array([320.0, 1700.0, 2600.0]),
+        "sh": np.array([300.0, 1550.0, 2500.0]),
+        "f": np.array([350.0, 1400.0, 2400.0]),
+        "n": nasal_f, "sil": None,
+    }
+    # fricative partial banks: fixed freqs/phases, per-type spectral shape
+    n_part = 48
+    part_f = np.exp(np.linspace(np.log(1500.0), np.log(7500.0), n_part))
+    part_f = part_f * np.exp(bank.uniform(-0.03, 0.03, n_part))
+    part_ph = bank.uniform(0, 2 * np.pi, n_part)
+    fric_gain = {
+        "s": np.exp(-0.5 * ((part_f - 6000.0) / 1500.0) ** 2),
+        "sh": np.exp(-0.5 * ((part_f - 3200.0) / 1200.0) ** 2),
+        "f": np.full(n_part, 0.35),
+    }
+    harm_ph = bank.uniform(0, 2 * np.pi, K)
+    cons_types = ["s", "sh", "f", "n", "sil"]
+    levels = {"v": 1.0, "n": 0.55, "s": 0.40, "sh": 0.40, "f": 0.30, "sil": 0.0}
+    vowel_frames = np.array([5, 6, 8])         # 100/120/160 ms
+    accents = np.array([0.92, 1.0, 1.10])
+
+    def lorentz(f, F, B):
+        """Resonance magnitude at freqs f for formants F, bandwidths B."""
+        # f: [K, n_c]; F: [3, n_c]; B: [3]
+        g = np.zeros_like(f)
+        for i in range(F.shape[0]):
+            g += 1.0 / np.sqrt(1.0 + ((f - F[i][None, :]) / (0.5 * B[i])) ** 2)
+        return g
+
+    def smooth_joins(x, r):
+        """Raised-cosine smooth a piecewise-constant coarse track."""
+        w = np.hanning(2 * r + 1)
+        w /= w.sum()
+        return np.convolve(np.pad(x, r, mode="edge"), w, mode="valid")
+
+    rs = np.random.RandomState(seed)
+    pos_c = np.arange(segment_len) / dt
+    i0 = np.clip(pos_c.astype(np.int64), 0, n_c - 2)
+    w0 = (pos_c - i0).astype(np.float64)
+
+    def upsample(a):                           # [..., n_c] -> [..., seg]
+        return a[..., i0] * (1 - w0) + a[..., i0 + 1] * w0
+
+    wavs = np.empty((n_utts, segment_len), np.float32)
+    for u in range(n_utts):
+        spk = rs.randint(n_speakers)
+        # --- phoneme plan on the 20 ms frame grid ---------------------------
+        tail = int(0.1 * sample_rate) // frame  # 100 ms final silence
+        total_frames = segment_len // frame
+        plan = []                               # (type, vowel_idx, accent, frames)
+        fr = 0
+        while fr < total_frames - tail:
+            c = cons_types[rs.randint(len(cons_types))]
+            v = rs.randint(len(vowels))
+            acc = accents[rs.randint(3)]
+            vf = int(vowel_frames[rs.randint(3)])
+            plan.append((c, v, acc, min(4, total_frames - tail - fr)))
+            fr += plan[-1][3]
+            if fr >= total_frames - tail:
+                break
+            plan.append(("v", v, acc, min(vf, total_frames - tail - fr)))
+            fr += plan[-1][3]
+        plan.append(("sil", 0, 1.0, total_frames - fr))
+
+        # --- coarse control tracks ------------------------------------------
+        F = np.tile(vowels[0][:, None] * vt_scales[spk], (1, n_c))
+        env = np.zeros(n_c)
+        voiced = np.zeros(n_c)
+        acc_tr = np.ones(n_c)
+        fric_env = {t: np.zeros(n_c) for t in ("s", "sh", "f")}
+        cur = 0
+        prev_formants = loci["s"] * vt_scales[spk]
+        for (ph, v, acc, nfr) in plan:
+            a, b = cur * frame // dt, (cur + nfr) * frame // dt
+            b = min(b, n_c)
+            if b <= a:
+                cur += nfr
+                continue
+            acc_tr[a:b] = acc
+            if ph == "v":
+                tgt = vowels[v] * vt_scales[spk]
+                glide = min(8, b - a)           # 40 ms raised-cosine glide
+                gw = 0.5 * (1 - np.cos(np.pi * np.arange(glide) / max(glide, 1)))
+                F[:, a:a + glide] = (
+                    prev_formants[:, None] * (1 - gw)
+                    + tgt[:, None] * gw
+                )
+                F[:, a + glide:b] = tgt[:, None]
+                env[a:b] = levels["v"]
+                voiced[a:b] = 1.0
+                prev_formants = tgt
+            elif ph == "n":
+                tgt = nasal_f * vt_scales[spk]
+                F[:, a:b] = tgt[:, None]
+                env[a:b] = levels["n"]
+                voiced[a:b] = 1.0
+                prev_formants = tgt
+            elif ph in ("s", "sh", "f"):
+                fric_env[ph][a:b] = levels[ph]
+                env[a:b] = 0.0
+                prev_formants = loci[ph] * vt_scales[spk]
+            else:                               # sil
+                env[a:b] = 0.0
+            cur += nfr
+
+        # F0: base x accent x declination x vibrato (voiced regions only)
+        decl = np.linspace(1.10, 0.90, n_c)
+        f0_c = f0_bases[spk] * acc_tr * decl * (
+            1.0 + 0.01 * np.sin(2 * np.pi * 5.5 * tc)
+        )
+        env = smooth_joins(env, 2)              # 10 ms joins
+        voiced_s = smooth_joins(voiced, 2)
+
+        # --- voiced source through formant filter ---------------------------
+        freqs = ks[:, None] * f0_c[None, :]     # [K, n_c]
+        src = (1.0 / ks[:, None] ** 1.0) * (freqs < 7600.0)
+        amp_c = src * lorentz(freqs, F, bws * vt_scales[spk])
+        amp = upsample(amp_c * (env * voiced_s)[None, :])   # [K, seg]
+        f0_s = upsample(f0_c)
+        phase = 2 * np.pi * np.cumsum(f0_s) / sample_rate
+        sig = np.einsum(
+            "ks,ks->s", amp, np.sin(ks[:, None] * phase[None, :]
+                                    + harm_ph[:, None])
+        )
+
+        # --- fricatives: fixed-phase partial banks --------------------------
+        t_s = np.arange(segment_len) / sample_rate
+        for ftype, fenv in fric_env.items():
+            if fenv.max() <= 0:
+                continue
+            fe = upsample(smooth_joins(fenv, 2))
+            gains = fric_gain[ftype]
+            fsig = np.einsum(
+                "p,ps->s", gains,
+                np.sin(2 * np.pi * (part_f * vt_scales[spk])[:, None]
+                       * t_s[None, :] + part_ph[:, None]),
+            )
+            sig = sig + 0.6 * fe * fsig
+
+        rms = np.sqrt(np.mean(sig ** 2)) + 1e-9
+        wavs[u] = (0.1 * sig / rms
+                   + noise_amp * rs.randn(segment_len)).astype(np.float32)
+    return wavs
+
+
+def corpus_cached(name: str, n_utts: int, segment_len: int,
+                  sample_rate: int, seed: int):
+    """Disk-cached corpus synthesis (the formant corpus costs ~100 ms/utt on
+    the 1-core box; the soak + ceiling oracle + eval regenerate it)."""
+    fn = CORPORA[name]
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "runs", "corpora")
+    path = os.path.join(
+        cache_dir,
+        f"{name}_v{CORPUS_VERSION}_{n_utts}x{segment_len}sr{sample_rate}"
+        f"_s{seed}.npy",
+    )
+    if os.path.exists(path):
+        return np.load(path)
+    wavs = fn(n_utts, segment_len, sample_rate, seed)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:      # np.save(str) would append another .npy
+        np.save(f, wavs)
+    os.replace(tmp, path)
+    return wavs
+
+
+CORPUS_VERSION = 1
+CORPORA = {"harmonic": make_corpus, "units": make_corpus_units,
+           "formant": make_corpus_formant}
 
 
 class CorpusLoader:
@@ -135,6 +355,39 @@ class CorpusLoader:
         for b in range(self._n_batches):
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
             yield {"wav": self.wavs[sel]}
+
+
+def _pd_verdict(rows):
+    """Did progressive distillation move raw few-step DDIM quality?
+
+    Compares raw-DDIM cos at the diffusion-phase end vs the last halving's
+    end (the window PD owns); consistency-phase gains are credited to
+    consistency, not PD.  Returns a dict with the deltas and a verdict
+    string (VERDICT r4 item 2: prove or prune).
+    """
+    by = {r["phase"]: r for r in rows}
+    diff = by.get("diffusion")
+    prog = next(
+        (by[f"prog{n}"] for n in (4, 8, 16, 32) if f"prog{n}" in by), None
+    )
+    if not diff or not prog:
+        return {"verdict": "unmeasured (missing phase rows)"}
+    deltas = {
+        f"ddim{n}_delta": round(
+            prog[f"rawddim{n}_cos"] - diff[f"rawddim{n}_cos"], 4
+        )
+        for n in (1, 2, 4, 8)
+        if f"rawddim{n}_cos" in diff and f"rawddim{n}_cos" in prog
+    }
+    moved = max(deltas.values(), default=0.0)
+    deltas["verdict"] = (
+        f"PD raises raw few-step DDIM val_cos by up to {moved:+.3f} "
+        f"(diffusion-end -> {prog['phase']}-end)"
+        if moved >= 0.02
+        else f"PD contributes nothing measurable (best delta {moved:+.3f}); "
+             "consistency phase owns the few-step gains"
+    )
+    return deltas
 
 
 def phase_trajectories(metrics_path: str, max_points: int = 200):
@@ -169,8 +422,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0,
                     help="multiply all phase epoch counts")
-    ap.add_argument("--out", default="runs/soak_r04")
-    ap.add_argument("--artifact", default="TRAIN_r04.json")
+    ap.add_argument("--out", default="runs/soak_r05")
+    ap.add_argument("--artifact", default="TRAIN_r05.json")
     ap.add_argument("--chain", type=int, default=40,
                     help="optimizer steps per device dispatch (1 = the old "
                          "one-dispatch-per-step driver)")
@@ -275,18 +528,66 @@ def main():
         cfg.ckpt_every_steps = 0
         n_train, n_val = 4, 2
 
-    corpus_fn = CORPORA[args.corpus]
-    train_wavs = corpus_fn(n_train, cfg.segment_len, cfg.sample_rate,
-                           seed=100)
-    val_wavs = corpus_fn(n_val, cfg.segment_len, cfg.sample_rate, seed=200)
+    train_wavs = corpus_cached(args.corpus, n_train, cfg.segment_len,
+                               cfg.sample_rate, seed=100)
+    val_wavs = corpus_cached(args.corpus, n_val, cfg.segment_len,
+                             cfg.sample_rate, seed=200)
     train_loader = CorpusLoader(train_wavs, cfg.batch_size, seed=1)
     val_loader = CorpusLoader(val_wavs, cfg.batch_size, seed=2, shuffle=False)
+
+    # ---- per-phase raw-DDIM few-step scoring (VERDICT r4 item 2) -----------
+    # The distillation phases exist to make the RAW eps/v-DDIM loop
+    # (reference inference.py:44-51) good at 1-4 steps; DPM++ validation
+    # masks exactly that deficit.  Score every training stage boundary with
+    # raw DDIM at 1/2/4/8 steps (tokens conditioning — the path those phases
+    # train) plus DPM++ 4-step for comparison.
+    import jax.numpy as jnp
+
+    _eval_cache: dict = {}
+
+    def _eval_fns():
+        if not _eval_cache:
+            encoder, decoder, p0, v0 = init_models(
+                CFG.from_dict(cfg.to_dict()), jax.random.PRNGKey(0),
+                hubert_cfg=hubert_cfg,
+            )
+            sched = DiffusionSchedule.create(cfg.diff_steps)
+            tr = Trainer(cfg, encoder, decoder, sched,
+                         make_optimizer(cfg, 10))
+            _eval_cache.update(
+                trainer=tr, params0=p0, vq0=v0,
+                ddim={n: tr.make_validate_ddim_fn(n) for n in (1, 2, 4, 8)},
+                dpm4=tr.make_validate_fn(num_steps=4, conditioning="tokens"),
+                val4=tr.make_validate_fn(num_steps=4),
+                val1=tr.make_validate_fn(num_steps=1),
+            )
+        return _eval_cache
+
+    raw_ddim_rows: list = []
+    hook_batch = {"wav": val_wavs[: cfg.batch_size]}
+
+    def phase_end_hook(tag, st):
+        ev = _eval_fns()
+        batch = {k: jnp.asarray(v) for k, v in hook_batch.items()}
+        rng_h = jax.random.PRNGKey(777)
+        row = {"phase": tag, "step": int(st.step)}
+        for n, fn in ev["ddim"].items():
+            row[f"rawddim{n}_cos"] = round(
+                float(fn(st.params, st.vq_state, batch, rng_h)["val_cos"]), 4
+            )
+        row["dpmpp4_cos"] = round(
+            float(ev["dpm4"](st.params, st.vq_state, batch, rng_h)["val_cos"]),
+            4,
+        )
+        raw_ddim_rows.append(row)
+        print(json.dumps({"raw_ddim": row}), flush=True)
 
     t0 = time.time()
     state = train(
         cfg, train_loader=train_loader, val_loader=val_loader,
         hubert_cfg=hubert_cfg, resume=args.resume,
         phases=["diffusion", "progressive", "consistency"],
+        phase_end_hook=phase_end_hook,
     )
     wall = time.time() - t0
     total_steps = int(state.step)
@@ -313,19 +614,13 @@ def main():
     # Same scoring path as tests/test_training.py::
     # test_training_dynamics_regression: DPM++ val cosine at 4 and 1 steps on
     # the held-out batch, vs a fresh init.
-    encoder, decoder, params0, vq0 = init_models(
-        CFG.from_dict(cfg.to_dict()), jax.random.PRNGKey(0),
-        hubert_cfg=hubert_cfg,
-    )
-    schedule = DiffusionSchedule.create(cfg.diff_steps)
-    trainer = Trainer(cfg, encoder, decoder, schedule, make_optimizer(cfg, 10))
-    import jax.numpy as jnp
-
+    ev = _eval_fns()
     dev_batch = {"wav": jnp.asarray(val_wavs[: cfg.batch_size])}
     rng = jax.random.PRNGKey(42)
-    val4 = trainer.make_validate_fn(num_steps=4)
-    val1 = trainer.make_validate_fn(num_steps=1)
-    cos_init = float(val4(params0, vq0, dev_batch, rng)["val_cos"])
+    val4, val1 = ev["val4"], ev["val1"]
+    cos_init = float(
+        val4(ev["params0"], ev["vq0"], dev_batch, rng)["val_cos"]
+    )
     cos4 = float(val4(state.params, state.vq_state, dev_batch, rng)["val_cos"])
     cos1 = float(val1(state.params, state.vq_state, dev_batch, rng)["val_cos"])
 
@@ -386,6 +681,8 @@ def main():
             "val_cos_1step": round(cos1, 4),
             "one_step_ends_best": bool(cos1 >= cos4),
         },
+        "raw_ddim_per_phase": raw_ddim_rows,
+        "pd_verdict": _pd_verdict(raw_ddim_rows),
         "trajectories": phase_trajectories(
             os.path.join(cfg.get_run_dir(), "metrics.jsonl")
         ),
