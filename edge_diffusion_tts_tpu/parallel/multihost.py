@@ -99,10 +99,16 @@ def make_pod_mesh(
     if len(ici_shape) != len(tuple(axis_names)):
         raise ValueError(f"{ici_shape} vs axis names {tuple(axis_names)}")
     if dcn_data_parallelism > 1:
+        # TPU pods carry slice_index (the DCN granule); CPU/GPU clusters
+        # don't — there the granule is the OS process (multi-process CPU
+        # smoke: tools/multihost_smoke.py).
+        devs = list(devices) if devices is not None else jax.devices()
+        slice_ids = {getattr(d, "slice_index", None) for d in devs}
         dev = mesh_utils.create_hybrid_device_mesh(
             ici_shape,
             (dcn_data_parallelism,) + (1,) * (len(ici_shape) - 1),
             devices=devices,
+            process_is_granule=len(slice_ids) <= 1,
         )
     else:
         dev = mesh_utils.create_device_mesh(ici_shape, devices=devices)
