@@ -89,8 +89,17 @@ def export_tflite(
 
     ``quantize`` enables post-training quantization — beyond the reference's
     fp32-only ONNX edge story (utils/export.py:12-40):
-      - "dynamic": int8 weights, float activations (dynamic-range; no
-        calibration data needed; ~4x smaller flatbuffer);
+      - "weight_int8": the SHIPPING edge mode — selective per-output-channel
+        weight-only int8 (utils/quantize.py: sensitive tensors stay f32)
+        baked into the graph as int8 constants + in-graph dequantize, so a
+        stock interpreter executes the exact in-budget path measured under
+        JAX (e2e 4-step mel L1 ~8e-3 < the 1e-2 budget, QUANT_r05.json).
+        The int8 constants survive conversion (measured ~2x smaller
+        flatbuffer); the dequant cast+mul runs once per invoke.
+      - "dynamic": the converter's dynamic-range pass — int8 weights, float
+        activations; quantizes EVERY pattern-matched weight including the
+        sensitive ones, which is why it lands ~2x over the budget
+        (QUANT_r04.json) — kept for comparison, not shipping;
       - "int8": full integer where calibrated, float fallback elsewhere;
         calibrates on ``representative_batches`` (iterable of
         (x_t, t, sem_idx, step_idx) tuples) or a synthetic default matched
@@ -98,19 +107,62 @@ def export_tflite(
         timesteps, uniform codebook indices).  KNOWN ISSUE: the converted
         hybrid model aborts a stock TF 2.19 interpreter at invoke (TFLite
         kernel bug, reproduced with and without the XNNPACK delegate) —
-        "dynamic" is the supported mode; coverage and accuracy are pinned
-        in QUANT_r03.json (tools/quant_report.py).
-    The float interface is kept in both modes so the same interpreter
+        "weight_int8" is the supported quantized mode; coverage and accuracy
+        are pinned in QUANT_r05.json (tools/quant_report.py).
+    The float interface is kept in every mode so the same interpreter
     harness (``load_tflite``) drives float and quantized artifacts.
     """
     import tensorflow as tf
     from jax.experimental import jax2tf
 
-    def fwd(x_t, t, sem_idx, step_idx):
-        return decoder.apply(
-            {"params": decoder_params}, x_t, t, sem_idx=sem_idx,
-            step_idx=step_idx,
-        )
+    # A static-shape edge artifact only ever indexes positional rows
+    # [0, t_frames) / [0, s_tokens), but the converter constant-folds the
+    # FULL max-length sinusoidal tables (~1.9 MB at flagship defaults) into
+    # the flatbuffer.  Rebuild the decoder with tables trimmed to the export
+    # shape — the rows used are identical, so outputs are unchanged (the
+    # tables are parameter-free; the params tree is untouched).
+    if (
+        getattr(cfg, "max_mel_positions", t_frames) > t_frames
+        or getattr(cfg, "max_ctx_positions", s_tokens) > s_tokens
+    ):
+        trim = CFG.from_dict(cfg.to_dict())
+        trim.max_mel_positions = min(cfg.max_mel_positions, t_frames)
+        trim.max_ctx_positions = min(cfg.max_ctx_positions, s_tokens)
+        decoder = type(decoder)(trim)
+
+    qflat = None
+    if quantize == "weight_int8":
+        from .quantize import _unflatten, quantize_decoder_params
+
+        qflat = quantize_decoder_params(decoder_params)
+
+        def _dequant_params():
+            flat = {}
+            for key, v in qflat.items():
+                tag, path = key.split(":", 1)
+                if tag == "f32":
+                    flat[path] = jnp.asarray(v)
+                elif tag == "q8":
+                    scale = jnp.asarray(qflat["sc:" + path])
+                    flat[path] = (
+                        jnp.asarray(v).astype(jnp.float32) * scale[None, :]
+                    )
+            return _unflatten(flat)
+
+        def fwd(x_t, t, sem_idx, step_idx):
+            return decoder.apply(
+                {"params": _dequant_params()}, x_t, t, sem_idx=sem_idx,
+                step_idx=step_idx,
+            )
+
+        quantize = ""  # the quantization IS the graph; no converter pass
+    else:
+
+        def fwd(x_t, t, sem_idx, step_idx):
+            return decoder.apply(
+                {"params": decoder_params}, x_t, t, sem_idx=sem_idx,
+                step_idx=step_idx,
+            )
 
     sig = [
         tf.TensorSpec((batch, t_frames, cfg.n_mels), tf.float32, name="x_t"),
@@ -155,6 +207,18 @@ def export_tflite(
                 f"quantize must be '', 'dynamic' or 'int8', got {quantize!r}"
             )
     blob = converter.convert()
+    if qflat is not None:
+        # The converter constant-folds the in-graph cast+mul dequant back to
+        # f32 for matmul weights; restore the int8 representation as
+        # DEQUANTIZE ops (bit-identical behavior, int8 bytes on disk).
+        from .tflite_surgery import rewrite_weights_int8
+
+        blob, rep = rewrite_weights_int8(blob, qflat)
+        if rep["unmatched"]:
+            # Tensors the fold didn't leave byte-recognizable stay f32 —
+            # correct, just larger; surface it.
+            print(f"weight_int8 surgery: {len(rep['matched'])} tensors "
+                  f"int8, unmatched (left f32): {rep['unmatched']}")
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(blob)

@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(out_json: str = "QUANT_r04.json"):
+def main(out_json: str = "QUANT_r05.json"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -162,6 +162,63 @@ def main(out_json: str = "QUANT_r04.json"):
     mel_w8 = gen_jax_params(params_w8)
     e2e_l1_w8 = float(np.abs(mel_w8 - mel_jax).mean())
 
+    # -- weight_int8 INSIDE the TFLite artifact (r5: the deployable edge
+    # artifact now executes the in-budget path on a stock interpreter) -------
+    w8tfl_path = os.path.join(tmp, "flag_w8.tflite")
+    export_tflite(cfg, decoder, params, w8tfl_path, batch=B, t_frames=T,
+                  s_tokens=S, quantize="weight_int8")
+    w8tfl_size = os.path.getsize(w8tfl_path)
+    run_w8tfl = load_tflite(w8tfl_path)
+    out_w8tfl = run_w8tfl(x, t, sem, si)
+    fwd_l1_w8tfl = float(np.abs(out_w8tfl - ref).mean())
+    fwd_l1_w8tfl_vs_w8jax = float(np.abs(out_w8tfl - fwd_w8).mean())
+    mel_w8tfl = gen(run_w8tfl)
+    e2e_l1_w8tfl = float(np.abs(mel_w8tfl - mel_jax).mean())
+    e2e_l1_w8tfl_vs_w8jax = float(np.abs(mel_w8tfl - mel_w8).mean())
+
+    # -- latency: an edge artifact needs size AND speed ------------------------
+    import time
+
+    def time_tflite(runner, reps=20):
+        runner(x, t, sem, si)  # warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            runner(x, t, sem, si)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times) * 1e3)
+
+    def time_jax_fwd(p, reps=20):
+        import jax as _jax
+
+        f = _jax.jit(
+            lambda xx, tt, ss, ii: decoder.apply(
+                {"params": p}, xx, tt, sem_idx=ss, step_idx=ii
+            )
+        )
+        a = (jnp.asarray(x), jnp.asarray(t), jnp.asarray(sem), jnp.asarray(si))
+        float(f(*a).sum())  # warm + completion barrier
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*a).sum())
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times) * 1e3)
+
+    latency = {
+        "what": "single decoder forward, median ms of 20 (this host's CPU; "
+                "B=1 T=200 S=100).  4-step generation = ~4x + sampler "
+                "overhead.  The JAX rows show dequantized-int8 params run "
+                "the SAME program as f32 (dequant happens at load) — on TPU "
+                "the int8 decoder's 4-step latency equals the f32 headline "
+                "(bench.py / BENCH_all, path xla_f32).",
+        "tflite_f32_ms": time_tflite(run_f32),
+        "tflite_dynamic_ms": time_tflite(run_dyn),
+        "tflite_weight_int8_ms": time_tflite(run_w8tfl),
+        "jax_cpu_f32_ms": time_jax_fwd(params),
+        "jax_cpu_weight_int8_ms": time_jax_fwd(params_w8),
+    }
+
     report = {
         "config": {"hidden": cfg.hidden, "layers": cfg.layers,
                    "heads": cfg.heads, "B": B, "T": T, "S": S},
@@ -188,11 +245,27 @@ def main(out_json: str = "QUANT_r04.json"):
             "within_1e2_budget": bool(e2e_l1_w8 <= 1e-2),
             "kept_f32": w8_report["kept_f32"],
         },
+        "weight_int8_tflite": {
+            "what": "the SAME selective int8 config baked into the TFLite "
+                    "flatbuffer as int8 constants + in-graph dequantize "
+                    "(export_tflite quantize='weight_int8') — a stock "
+                    "tf.lite.Interpreter executes the in-budget path with "
+                    "no JAX anywhere (VERDICT r4 item 1)",
+            "artifact_bytes": w8tfl_size,
+            "size_ratio_vs_f32_tflite": round(f32_size / w8tfl_size, 3),
+            "fwd_l1_vs_jax_f32": fwd_l1_w8tfl,
+            "fwd_l1_vs_jax_weight_int8": fwd_l1_w8tfl_vs_w8jax,
+            "e2e_4step_mel_l1_vs_jax_f32": e2e_l1_w8tfl,
+            "e2e_4step_mel_l1_vs_jax_weight_int8": e2e_l1_w8tfl_vs_w8jax,
+            "within_1e2_budget": bool(e2e_l1_w8tfl <= 1e-2),
+        },
+        "latency_ms": latency,
         "tflite_full_int8_mode_status": (
             "converts but stock-interpreter invoke ABORTS (TFLite kernel "
-            "bug, w/ and w/o XNNPACK); sidestepped by the native "
-            "weight_int8 mode above — dynamic-range remains the supported "
-            "TFLite mode (over budget, see e2e_4step_mel_l1_dyntflite)"
+            "bug, w/ and w/o XNNPACK); sidestepped by the weight_int8 "
+            "TFLite mode above, which is both in budget and deployable — "
+            "dynamic-range is kept for comparison only (over budget, see "
+            "e2e_4step_mel_l1_dyntflite)"
         ),
     }
     with open(out_json, "w") as f:
