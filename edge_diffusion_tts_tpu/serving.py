@@ -129,6 +129,9 @@ class MicroBatcher:
         self.requests_served = 0  # == live rows summed over batches
         self.device_ms_total = 0.0  # wall time inside generate_fn
         self.shed_count = 0  # submits refused by the SLO bound
+        # per-bucket {bucket: [batches, rows]} — starvation/fairness
+        # visibility under mixed-length traffic (tools/mixed_loadtest.py)
+        self.bucket_counts: Dict[int, list] = {}
         self._delays = collections.deque(maxlen=1024)  # recent queue delays
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -139,6 +142,7 @@ class MicroBatcher:
         self.requests_served = 0
         self.device_ms_total = 0.0
         self.shed_count = 0
+        self.bucket_counts = {}
         self._delays.clear()
 
     def predicted_delay_ms(self) -> float:
@@ -163,6 +167,14 @@ class MicroBatcher:
             "mean_batch_ms": round(self.device_ms_total / b, 3),
             "queue_depth": self._queue.qsize(),
             "shed_count": self.shed_count,
+            "per_bucket": {
+                str(k): {
+                    "batches": v[0],
+                    "rows": v[1],
+                    "occupancy": round(v[1] / (v[0] * self.max_batch), 3),
+                }
+                for k, v in sorted(self.bucket_counts.items())
+            },
         }
         if self._delays:
             d = np.sort(np.asarray(self._delays))
@@ -269,6 +281,9 @@ class MicroBatcher:
             self.device_ms_total += (time.monotonic() - t0) * 1e3
             self.batches_run += 1
             self.requests_served += len(tickets)
+            bc = self.bucket_counts.setdefault(bucket, [0, 0])
+            bc[0] += 1
+            bc[1] += len(tickets)
             for i, t in enumerate(tickets):
                 # copy(): a view would pin the whole padded batch array in
                 # memory until every client released its crop
