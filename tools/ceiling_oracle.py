@@ -212,7 +212,7 @@ def main():
             "device": jax.devices()[0].device_kind,
             "date": time.strftime("%Y-%m-%d"),
             "steps": args.steps, "chain": args.chain, "lr": args.lr,
-            "batch": cfg.batch_size,
+            "batch": cfg.batch_size, "hubert_layer": cfg.hubert_layer,
             "corpus": f"{n_train} train / {n_val} val synthetic {args.corpus} "
                       f"utterances (soak_train.CORPORA)",
         },

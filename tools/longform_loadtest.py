@@ -14,7 +14,11 @@ setup each device program pays the ~30 ms host->TPU dispatch round-trip, so
 absolute numbers are tunnel-dominated; read the wall-clock RATIO and the
 scheduler's row occupancy.
 
-Usage: python tools/longform_loadtest.py [--smoke] > SERVE_LF_r03.json
+Round 5 adds the audio=True burst: waveform increments through
+``pipe.stream_audio`` (per-increment Griffin-Lim in the caller's thread),
+reporting time-to-first-AUDIO (ttfa_ms) against the mel TTFI.
+
+Usage: python tools/longform_loadtest.py [--smoke] > SERVE_LF_r05.json
 """
 
 from __future__ import annotations
@@ -123,7 +127,7 @@ def main():
         # the per-length ChunkStream programs (encode/stats/key chain).
         sched.warmup(steps=steps, strength=0.6, cfg_scale=2.0)
         try:
-            def burst(tag, record):
+            def burst(tag, record, audio=False):
                 ttfi, done_ms, frames = [], [], []
                 lock = threading.Lock()
                 errors = []
@@ -134,11 +138,11 @@ def main():
                         first, total = None, 0
                         for seg, _ in request_longform(
                             make_wav(i), host=host, port=port, steps=steps,
-                            strength=0.6, cfg_scale=2.0, seed=i,
+                            strength=0.6, cfg_scale=2.0, seed=i, audio=audio,
                         ):
                             if first is None:
                                 first = (time.monotonic() - t0) * 1e3
-                            total += seg.shape[1]
+                            total += seg.shape[-1]  # frames (mel) / samples
                         with lock:
                             ttfi.append(first)
                             done_ms.append((time.monotonic() - t0) * 1e3)
@@ -165,11 +169,13 @@ def main():
                 chunks = sched.chunks_run - s0[1]
                 rows = sched.rows_padded - s0[2]
                 if record:
+                    first_key = "ttfa_ms" if audio else "ttfi_ms"
+                    total_key = "samples_total" if audio else "mel_frames_total"
                     results[tag] = {
                         "metric": tag,
                         "streams": streams,
                         "wall_s": round(wall, 2),
-                        "ttfi_ms": {
+                        first_key: {
                             "p50": round(percentile(ttfi, 50), 1),
                             "max": round(max(ttfi), 1),
                         },
@@ -177,7 +183,7 @@ def main():
                             "p50": round(percentile(done_ms, 50), 1),
                             "max": round(max(done_ms), 1),
                         },
-                        "mel_frames_total": int(sum(frames)),
+                        total_key: int(sum(frames)),
                         "batches_run": batches,
                         "chunks_run": chunks,
                         "row_occupancy": round(chunks / max(rows, 1), 3),
@@ -191,6 +197,13 @@ def main():
             tag = f"longform_c{streams}_sched{max_streams}"
             burst(tag + "_warmup", record=False)  # compile B=1..K programs
             burst(tag, record=True)
+            if max_streams == streams:
+                # audio=True: Griffin-Lim vocoding per increment (caller
+                # thread, overlapping other streams' refine ticks) —
+                # time-to-first-AUDIO is what a playback client waits for.
+                atag = f"longform_c{streams}_audio"
+                burst(atag + "_warmup", record=False, audio=True)
+                burst(atag, record=True, audio=True)
         finally:
             server.shutdown()
             batcher.close()
@@ -202,6 +215,13 @@ def main():
             "metric": "longform_batching_speedup",
             "value": round(b["wall_s"] / a["wall_s"], 2),
             "unit": "x wall-clock, batched vs serialized ticks",
+        }), flush=True)
+    au = results.get(f"longform_c{streams}_audio")
+    if a and au:
+        print(json.dumps({
+            "metric": "longform_ttfa_over_ttfi",
+            "value": round(au["ttfa_ms"]["p50"] / a["ttfi_ms"]["p50"], 2),
+            "unit": "x (first-audio p50 vs first-mel p50, target <= 1.5)",
         }), flush=True)
     return 0
 

@@ -1,35 +1,37 @@
 """Speed-of-light (roofline) analysis of the headline benchmark programs.
 
 For each BENCH_all config this builds the SAME single-iteration program
-bench_all.py times, compiles it, and reads XLA's post-optimization cost
-analysis (flops, bytes accessed).  Against the v5e peaks
+bench_all.py times, compiles it, and derives TWO memory floors against the
+v5e peaks (MXU 197 TFLOP/s bf16, HBM 819 GB/s):
 
-    MXU:  197 TFLOP/s (bf16 inputs, f32 accumulate)
-    HBM:  819 GB/s
+  - ``mbytes_min`` — a hand byte model: every program input (params,
+    optimizer state, data) read from HBM ONCE and every output written
+    ONCE.  This is a physical lower bound — no execution can touch less —
+    and it is attainable in the perfect-fusion limit (the fused-Pallas
+    denoise kernel literally does it: params VMEM-resident, state never
+    spilled).  ``sol_ms`` and ``bound`` use THIS floor, so ``pct_of_sol``
+    can never exceed 100 on an honest measurement.
+  - ``mbytes_xla`` — XLA post-optimization cost analysis "bytes accessed".
+    This counts traffic between fusions, including intermediates that in
+    practice stay VMEM-resident, so it is an ESTIMATE of the scheduled
+    traffic, not a floor (ROOFLINE_r04 had three rows "beating" it by
+    2.5x).  Reported for diagnosis only.
 
-it derives the compute-bound and memory-bound floors
+    sol_ms = max(flops / 197e12, bytes_min / 819e9) * 1e3
 
-    sol_ms = max(flops / 197e12, bytes / 819e9) * 1e3
-
-and reports measured/sol ("x_over_sol": how far above speed-of-light the
-measured time sits; 1.0 = at the roofline).  Programs measured in f32 have a
-LOWER effective MXU peak than 197 TFLOP/s, so their compute floor here is
-optimistic (flagged per line).  Bytes come from the compiling backend's
-fusion decisions: run with --platform tpu (through the tunnel) for the real
-TPU numbers; --platform cpu gives a structural estimate (flops are
-backend-independent up to algebraic simplification; bytes less so).
-
-The point of this artifact is honesty about the remaining gap: the flagship
-4-step decode moves ~8 MB and does ~2 GFLOP per utterance — both floors are
-in the tens of microseconds, so the measured ~0.2 ms is launch/serialization
-overhead, not arithmetic (each of the 4 decoder calls is a chain of ~150
-small kernels).  The batch-32 encode, by contrast, is a real MXU workload
-where %SoL is meaningful.
+When a measurement is joined, ``limiter`` classifies what actually gates
+the config: "compute"/"memory" when the measurement sits within 5x of the
+matching floor, else "launch/overhead" — the regime where the program is a
+chain of kernels too small to fill the MXU or the HBM bus (the flagship
+4-step decode: ~2 GFLOP and ~9 MB per utterance put both floors in the tens
+of microseconds; the measured ~0.2 ms is launch/serialization).  Programs
+measured in f32 have a LOWER effective MXU peak than 197 TFLOP/s, so their
+compute floor is optimistic (flagged per line).
 
 Usage:  python tools/roofline.py [--platform cpu|tpu] [--out ROOFLINE.json]
 
-Reference: BASELINE.md targets; measured values joined from
-BENCH_all_r03.json when present.
+Reference: BASELINE.md targets; measured values joined from the newest
+BENCH_all_r*.json when present.
 """
 
 from __future__ import annotations
@@ -48,11 +50,36 @@ V5E_HBM_BPS = 819e9
 AUDIO_SECS = 5.0
 
 
+def _io_bytes_min(fn, args):
+    """Physical HBM-traffic lower bound for one execution of ``fn(*args)``:
+    every input array read once + every output array written once.  Scalars
+    and non-arrays are ignored (they ride in the program).  Attainable in
+    the perfect-fusion limit; nothing can move less."""
+    import jax
+    import numpy as np
+
+    def nbytes(tree):
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            shape = getattr(leaf, "shape", None)
+            dtype = getattr(leaf, "dtype", None)
+            if shape is None or dtype is None:
+                continue
+            total += int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+        return total
+
+    out_shapes = jax.eval_shape(fn, *args)
+    return nbytes(args) + nbytes(out_shapes)
+
+
 def analyze(name, fn, args, measured_ms=None, dtype_note="f32", scale=1.0,
             prejitted=False):
-    """``scale`` multiplies flops/bytes: XLA's cost analysis counts a
+    """``scale`` multiplies flops/xla-bytes: XLA's cost analysis counts a
     while/scan body ONCE regardless of trip count, so rolled loops (the
     1000-step DDPM scan) pass scale=trip_count; unrolled programs pass 1.
+    The min-byte model is NOT scaled: a rolled loop's carry can stay
+    on-chip, so its floor is still inputs-once + outputs-once (the fused
+    1000-step DDPM Pallas kernel demonstrates this is attainable).
     ``prejitted`` lowers ``fn`` directly (preserving e.g. donate_argnums)
     instead of wrapping it in a fresh jax.jit."""
     import jax
@@ -63,16 +90,20 @@ def analyze(name, fn, args, measured_ms=None, dtype_note="f32", scale=1.0,
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
     flops = float(ca.get("flops", 0.0)) * scale
-    bytes_ = float(ca.get("bytes accessed", 0.0)) * scale
+    bytes_xla = float(ca.get("bytes accessed", 0.0)) * scale
+    bytes_min = _io_bytes_min(jfn, args)
     sol_compute_ms = flops / V5E_MXU_FLOPS * 1e3
-    sol_hbm_ms = bytes_ / V5E_HBM_BPS * 1e3
+    sol_hbm_ms = bytes_min / V5E_HBM_BPS * 1e3
+    sol_hbm_xla_ms = bytes_xla / V5E_HBM_BPS * 1e3
     sol_ms = max(sol_compute_ms, sol_hbm_ms)
     out = {
         "metric": name,
         "gflops": round(flops / 1e9, 3),
-        "mbytes": round(bytes_ / 1e6, 2),
+        "mbytes_min": round(bytes_min / 1e6, 2),
+        "mbytes_xla": round(bytes_xla / 1e6, 2),
         "sol_compute_ms": round(sol_compute_ms, 4),
         "sol_hbm_ms": round(sol_hbm_ms, 4),
+        "sol_hbm_xla_ms": round(sol_hbm_xla_ms, 4),
         "sol_ms": round(sol_ms, 4),
         "bound": "compute" if sol_compute_ms >= sol_hbm_ms else "memory",
         "dtype": dtype_note,
@@ -83,15 +114,21 @@ def analyze(name, fn, args, measured_ms=None, dtype_note="f32", scale=1.0,
         out["pct_of_sol"] = (
             round(100.0 * sol_ms / measured_ms, 1) if measured_ms else None
         )
+        out["limiter"] = (
+            out["bound"] if sol_ms and measured_ms <= 5.0 * sol_ms
+            else "launch/overhead"
+        )
     print(json.dumps(out), flush=True)
     return out
 
 
 def load_measured():
-    path = os.path.join(ROOT, "BENCH_all_r03.json")
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_all_r*.json")))
     vals = {}
-    if os.path.exists(path):
-        for line in open(path):
+    if paths:
+        for line in open(paths[-1]):
             line = line.strip()
             if not line:
                 continue
@@ -256,8 +293,11 @@ def main():
             meta = {
                 "meta": "roofline vs v5e peaks (197 TFLOP/s bf16, 819 GB/s)",
                 "platform": args.platform,
-                "note": ("flops/bytes from XLA post-optimization "
-                         "cost_analysis of the compiling backend"),
+                "note": ("flops + mbytes_xla from XLA post-optimization "
+                         "cost_analysis; mbytes_min is the inputs-once + "
+                         "outputs-once physical floor that sol_ms/bound "
+                         "use; 'limiter' marks rows gated by launch/"
+                         "serialization overhead rather than either floor"),
             }
             f.write(json.dumps(meta) + "\n")
             for r in results:

@@ -661,6 +661,7 @@ def main():
             },
             "config": {
                 "lr": cfg.lr, "lr_consistency": cfg.lr_consistency,
+                "hubert_layer": cfg.hubert_layer,
                 "diffusion_epochs": cfg.diffusion_epochs,
                 "progressive_epochs_per_halving":
                     cfg.progressive_epochs_per_halving,
