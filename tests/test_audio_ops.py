@@ -87,6 +87,33 @@ def test_istft_roundtrip():
     np.testing.assert_allclose(rec[512:-512], wav[512:-512], atol=1e-4)
 
 
+def test_frame_signal_and_overlap_add_match_naive():
+    """The dense hop-decomposed framing/OLA (the TPU scatter-free forms)
+    must equal the naive gather/scatter definitions exactly — framing is
+    pure data movement (bit-identical), OLA to float addition order."""
+    from edge_diffusion_tts_tpu.ops.mel import frame_signal, overlap_add
+
+    rs = np.random.RandomState(0)
+    for n_fft, hop, L in ((1024, 160, 3210), (400, 160, 2000), (64, 32, 300)):
+        wav = rs.randn(2, L).astype(np.float32)
+        frames = np.asarray(frame_signal(jnp.asarray(wav), n_fft, hop))
+        num_frames = (L + 2 * (n_fft // 2) - n_fft) // hop + 1
+        padded = np.pad(wav, ((0, 0), (n_fft // 2, n_fft // 2)),
+                        mode="reflect")
+        naive = np.stack(
+            [padded[:, t * hop:t * hop + n_fft] for t in range(num_frames)],
+            axis=1,
+        )
+        np.testing.assert_array_equal(frames, naive)
+
+        fr = rs.randn(2, 7, n_fft).astype(np.float32)
+        ours = np.asarray(overlap_add(jnp.asarray(fr), hop))
+        ref = np.zeros((2, 6 * hop + n_fft), np.float32)
+        for t in range(7):
+            ref[:, t * hop:t * hop + n_fft] += fr[:, t]
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_mel_filterbank_properties():
     fb = mel_filterbank(513, 0.0, 8000.0, 80, SR)
     assert fb.shape == (513, 80)
