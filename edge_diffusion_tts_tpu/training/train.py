@@ -219,7 +219,8 @@ def train(
     ``phase_end_hook(tag, state)`` fires once per completed training stage
     with tags "init", "diffusion", "prog{N}" per halving, "consistency" —
     the per-phase measurement point for e.g. raw-DDIM few-step quality
-    (tools/soak_train.py).  Skipped (resumed) phases do not fire.
+    (tools/soak_train.py).  Skipped (resumed) phases do not fire, and the
+    "init" tag fires only on fresh runs (a restored state is not a baseline).
     """
     rng = cfg.setup_environment()
     cfg.print_config()
@@ -678,7 +679,11 @@ def train(
         if phase_end_hook is not None:
             phase_end_hook(tag, st)
 
-    _phase_end("init", state)
+    # The "init" row is the random-init baseline: on a resumed run the
+    # restored (partially trained) state must NOT be scored under that tag —
+    # soak artifacts would present trained params as the baseline.
+    if not resume:
+        _phase_end("init", state)
 
     # ---- Phase 1: diffusion ------------------------------------------------
     if "diffusion" in phases and _phase_done("diffusion"):

@@ -69,6 +69,29 @@ def load_exported(path: str):
         return jexport.deserialize(f.read())
 
 
+def _trim_positional_tables(decoder, t_frames: int, s_tokens: int):
+    """Clone ``decoder`` with positional tables trimmed to the export shape.
+
+    A static-shape edge artifact only ever indexes positional rows
+    [0, t_frames) / [0, s_tokens), but the TFLite converter constant-folds
+    the FULL max-length sinusoidal tables (~1.9 MB at flagship defaults)
+    into the flatbuffer.  The rows used are identical, so outputs are
+    unchanged (the tables are parameter-free; the params tree is untouched).
+    clone() keeps the module's other fields (dtype, use_pallas) so the
+    exported graph computes in the same dtype the caller validated.
+    """
+    cfg = decoder.cfg
+    if (
+        getattr(cfg, "max_mel_positions", t_frames) <= t_frames
+        and getattr(cfg, "max_ctx_positions", s_tokens) <= s_tokens
+    ):
+        return decoder
+    trim = CFG.from_dict(cfg.to_dict())
+    trim.max_mel_positions = min(cfg.max_mel_positions, t_frames)
+    trim.max_ctx_positions = min(cfg.max_ctx_positions, s_tokens)
+    return decoder.clone(cfg=trim)
+
+
 def export_tflite(
     cfg: CFG,
     decoder,
@@ -115,20 +138,7 @@ def export_tflite(
     import tensorflow as tf
     from jax.experimental import jax2tf
 
-    # A static-shape edge artifact only ever indexes positional rows
-    # [0, t_frames) / [0, s_tokens), but the converter constant-folds the
-    # FULL max-length sinusoidal tables (~1.9 MB at flagship defaults) into
-    # the flatbuffer.  Rebuild the decoder with tables trimmed to the export
-    # shape — the rows used are identical, so outputs are unchanged (the
-    # tables are parameter-free; the params tree is untouched).
-    if (
-        getattr(cfg, "max_mel_positions", t_frames) > t_frames
-        or getattr(cfg, "max_ctx_positions", s_tokens) > s_tokens
-    ):
-        trim = CFG.from_dict(cfg.to_dict())
-        trim.max_mel_positions = min(cfg.max_mel_positions, t_frames)
-        trim.max_ctx_positions = min(cfg.max_ctx_positions, s_tokens)
-        decoder = type(decoder)(trim)
+    decoder = _trim_positional_tables(decoder, t_frames, s_tokens)
 
     qflat = None
     if quantize == "weight_int8":
@@ -204,7 +214,8 @@ def export_tflite(
             converter.representative_dataset = _rep
         elif quantize != "dynamic":
             raise ValueError(
-                f"quantize must be '', 'dynamic' or 'int8', got {quantize!r}"
+                "quantize must be '', 'dynamic', 'int8' or 'weight_int8', "
+                f"got {quantize!r}"
             )
     blob = converter.convert()
     if qflat is not None:

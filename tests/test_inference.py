@@ -111,6 +111,37 @@ def test_export_tflite_roundtrip(tiny_inference, tmp_path):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_trim_positional_tables_preserves_module_fields(tiny_inference):
+    """The export-time positional-table trim must keep the decoder's other
+    constructor fields (dtype, use_pallas) and leave outputs unchanged —
+    the trimmed rows are never indexed at the export shape."""
+    cfg, _, params, _ = tiny_inference
+    from edge_diffusion_tts_tpu.utils.export import _trim_positional_tables
+
+    decoder = EdgeDiffusionDecoder(cfg, dtype=jnp.bfloat16, use_pallas=False)
+    T, S = 20, 10
+    trimmed = _trim_positional_tables(decoder, T, S)
+    assert trimmed is not decoder
+    assert trimmed.dtype == jnp.bfloat16
+    assert trimmed.use_pallas is False
+    assert trimmed.cfg.max_mel_positions == T
+    assert trimmed.cfg.max_ctx_positions == S
+
+    x = jnp.asarray(np.random.RandomState(1).randn(1, T, cfg.n_mels), jnp.float32)
+    t = jnp.full((1,), 10, jnp.int32)
+    sem = jnp.zeros((1, S), jnp.int32)
+    si = jnp.zeros((1,), jnp.int32)
+    ref = decoder.apply({"params": params}, x, t, sem_idx=sem, step_idx=si)
+    out = trimmed.apply({"params": params}, x, t, sem_idx=sem, step_idx=si)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # Already-small tables: no-op, same module returned.
+    small = _trim_positional_tables(
+        decoder, cfg.max_mel_positions, cfg.max_ctx_positions
+    )
+    assert small is decoder
+
+
 def test_export_stablehlo_roundtrip(tiny_inference, tmp_path):
     cfg, decoder, params, _ = tiny_inference
     from edge_diffusion_tts_tpu.utils.export import export_for_edge, load_exported

@@ -637,20 +637,30 @@ def test_resume_skips_completed_phases(tmp_path):
         {"wav": np.zeros((cfg.batch_size, cfg.segment_len), np.float32)}
         for _ in range(2)
     ]
+    tags1 = []
     state1 = train(cfg, train_loader=loader, val_loader=None,
                    hubert_cfg=HubertConfig.tiny(),
-                   phases=["diffusion", "progressive", "consistency"])
+                   phases=["diffusion", "progressive", "consistency"],
+                   phase_end_hook=lambda tag, st: tags1.append(tag))
     # 1 diffusion epoch (2) + 1 halving (2) + 1 consistency epoch (2)
     assert int(state1.step) == 6
+    assert tags1[0] == "init" and "diffusion" in tags1
 
+    tags2 = []
     cfg2 = tiny_cfg(out_dir=str(tmp_path), **common)
     state2 = train(cfg2, train_loader=loader, val_loader=None,
                    hubert_cfg=HubertConfig.tiny(),
                    phases=["diffusion", "progressive", "consistency"],
-                   resume="auto")
+                   resume="auto",
+                   phase_end_hook=lambda tag, st: tags2.append(tag))
     # The last periodic checkpoint was written during phase 3 (step 6):
     # phases 1-2 skip, phase 3 replays from its start -> exactly +2 steps.
     assert int(state2.step) == 8
+    # A resumed run must not score restored params under the "init" tag
+    # (it is the random-init baseline row in soak artifacts), and skipped
+    # phases must not fire.
+    assert "init" not in tags2 and "diffusion" not in tags2
+    assert "consistency" in tags2
 
 
 def test_final_model_carries_vq_codebook(tmp_path):

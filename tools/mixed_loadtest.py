@@ -135,18 +135,24 @@ def main():
     }
     print(json.dumps(meta), flush=True)
 
-    rs = np.random.RandomState(args.seed)
     t_wav = np.arange(int(lf_secs * cfg.sample_rate)) / cfg.sample_rate
     lock = threading.Lock()
     errors = []
+    phase_no = [0]
 
     def run_phase(n_short, with_longform, record_bucket_of):
         """One traffic phase; returns (short_lats_by_bucket, lf_metrics)."""
         short_lats: dict = {b: [] for b in buckets}
         lf_ttfi, lf_done = [], []
         shed_retries = [0]
+        phase_no[0] += 1
 
         def short_client(ci):
+            # Per-client generator: a shared RandomState mutated from many
+            # threads is scheduler-dependent, which would defeat --seed.
+            rs = np.random.RandomState(
+                args.seed + 1000 * phase_no[0] + ci
+            )
             lens = rs.randint(len_rng[0], len_rng[1] + 1, reqs_per_client)
             for L in lens:
                 tokens = list(rs.randint(

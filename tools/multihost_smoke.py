@@ -134,16 +134,36 @@ def launch(artifact: str, timeout_s: float = 900.0) -> dict:
 
     port = free_port()
     t0 = time.time()
+    # Workers are Gloo-coupled: drain both stdouts via files (a sequential
+    # communicate() can deadlock if the second worker fills its pipe while
+    # the first blocks in the collective), and kill BOTH on any timeout so
+    # the pre-commit gate never leaks a process.
+    log_files = [
+        open(f"/tmp/mh_smoke_w{i}_{os.getpid()}.log", "w+") for i in range(2)
+    ]
     procs = [
         subprocess.Popen(
             [sys.executable, me, "--proc-id", str(i), "--procs", "2",
              "--port", str(port), "--out", out2],
             env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=log_files[i], stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
     ]
-    logs = [p.communicate(timeout=timeout_s)[0] for p in procs]
+    try:
+        deadline = t0 + timeout_s
+        for p in procs:
+            p.wait(timeout=max(deadline - time.time(), 1.0))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    logs = []
+    for f in log_files:
+        f.seek(0)
+        logs.append(f.read())
+        f.close()
     rcs = [p.returncode for p in procs]
     wall2 = time.time() - t0
     if any(rcs):

@@ -367,9 +367,14 @@ def _pd_verdict(rows):
     """
     by = {r["phase"]: r for r in rows}
     diff = by.get("diffusion")
-    prog = next(
-        (by[f"prog{n}"] for n in (4, 8, 16, 32) if f"prog{n}" in by), None
+    # Last halving = the prog row with the smallest step count, whatever the
+    # configured progressive_target_steps was (don't hardcode candidates —
+    # the schedule's endpoint is a config knob).
+    prog_steps = sorted(
+        int(r["phase"][4:]) for r in rows
+        if r["phase"].startswith("prog") and r["phase"][4:].isdigit()
     )
+    prog = by.get(f"prog{prog_steps[0]}") if prog_steps else None
     if not diff or not prog:
         return {"verdict": "unmeasured (missing phase rows)"}
     deltas = {
